@@ -1,0 +1,29 @@
+from .transforms import (
+    backproject_depth,
+    disp_to_depth,
+    pixel_grid_homogeneous,
+    project_3d,
+    rigid_flow,
+    rot_from_axisangle,
+    transformation_from_parameters,
+    translation_matrix,
+)
+from .losses import berhu, ncc, reprojection_loss, smooth_bright, smooth_loss, smooth_registration, ssim
+
+__all__ = [
+    "backproject_depth",
+    "disp_to_depth",
+    "pixel_grid_homogeneous",
+    "project_3d",
+    "rigid_flow",
+    "rot_from_axisangle",
+    "transformation_from_parameters",
+    "translation_matrix",
+    "berhu",
+    "ncc",
+    "reprojection_loss",
+    "smooth_bright",
+    "smooth_loss",
+    "smooth_registration",
+    "ssim",
+]

@@ -1,0 +1,154 @@
+"""Low-rank adaptation family as parameter-transform Dense layers.
+
+Re-designs the reference's LoRA zoo (models/backbones/mylora/layers.py:
+Linear:92, DVLinear:324, Linear_SSB:396, DashLinear:497) as stateless flax
+modules.  The stateful pieces of the originals — requires_grad flipping and
+DashLinear's in-forward SVD counter — are *not* modelled inside the layer:
+trainability schedules live in `train/optim.py` as step-indexed gradient
+gates, and the Dash SVD switch is an explicit host-side phase boundary
+(`dash_svd_update`), keeping every forward pure and jit-compiled.
+
+Parameter naming mirrors the reference's state-dict keys (lora_A, lora_B,
+lora_U, lora_V, lora_index, weight_u_top, weight_vt_top) so checkpoints
+convert 1:1 and the trainability-mask patterns match SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LoRADense", "dash_svd_update"]
+
+
+def _kaiming_uniform_sqrt5(key, shape, dtype=jnp.float32):
+    """torch kaiming_uniform_(a=sqrt(5)) on a (rows, cols) matrix.
+
+    torch computes fan_in = cols and bound = 1/sqrt(fan_in) for a=sqrt(5).
+    """
+    fan_in = shape[-1]
+    bound = 1.0 / (fan_in ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class LoRADense(nn.Module):
+    """Dense layer with a frozen base kernel and a low-rank trainable delta.
+
+    variant:
+      * "none"   — plain dense (no adapter params)
+      * "lora"   — y += x A^T B^T * alpha/r
+      * "dvlora" — y += x (A∘U)^T (B∘V)^T * alpha/r   (DV-LoRA)
+      * "ssb"    — kernel scaled per-row/col: K' = a ⊙ K ⊙ b
+      * "dash"   — lora plus top-8 singular-direction term, gated by
+                   ``dash_phase2`` (the reference's FLAG>warmup branch)
+
+    The base kernel is stored transposed relative to torch (in, out) —
+    flax convention; the converter transposes.
+    """
+
+    features: int
+    r: int = 4
+    lora_alpha: float | None = None
+    variant: str = "lora"
+    use_bias: bool = True
+    dash_index: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, dash_phase2: bool = False) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            jnp.float32,
+        )
+        y_bias = 0.0
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y_bias = bias.astype(self.dtype)
+
+        xd = x.astype(self.dtype)
+
+        if self.variant == "ssb":
+            a = self.param("lora_A", nn.initializers.ones, (in_features, 1), jnp.float32)
+            b = self.param("lora_B", nn.initializers.ones, (self.features, 1), jnp.float32)
+            k = (a * kernel * b[:, 0][None, :]).astype(self.dtype)
+            return xd @ k + y_bias
+
+        y = xd @ kernel.astype(self.dtype) + y_bias
+        if self.variant == "none":
+            return y
+
+        alpha = self.lora_alpha if self.lora_alpha is not None else 2.0 * self.r
+        scaling = alpha / self.r
+        lora_a = self.param("lora_A", _kaiming_uniform_sqrt5, (self.r, in_features), jnp.float32)
+        lora_b = self.param("lora_B", nn.initializers.zeros, (self.features, self.r), jnp.float32)
+
+        if self.variant == "dvlora":
+            lora_u = self.param(
+                "lora_U", lambda k, s, d=jnp.float32: jax.random.uniform(k, s, d, -1.0, 1.0), (self.r, 1)
+            )
+            lora_v = self.param(
+                "lora_V", lambda k, s, d=jnp.float32: jax.random.uniform(k, s, d, -1.0, 1.0), (self.features, 1)
+            )
+            a_eff = (lora_a * lora_u).astype(self.dtype)
+            b_eff = (lora_b * lora_v).astype(self.dtype)
+        elif self.variant in ("lora", "dash"):
+            a_eff = lora_a.astype(self.dtype)
+            b_eff = lora_b.astype(self.dtype)
+        else:
+            raise ValueError(f"unknown lora variant: {self.variant}")
+
+        y = y + (xd @ a_eff.T @ b_eff.T) * scaling
+
+        if self.variant == "dash":
+            lora_index = self.param("lora_index", nn.initializers.zeros, (self.dash_index,), jnp.float32)
+            u_top = self.param(
+                "weight_u_top", nn.initializers.zeros, (self.features, self.dash_index), jnp.float32
+            )
+            vt_top = self.param(
+                "weight_vt_top", nn.initializers.zeros, (self.dash_index, in_features), jnp.float32
+            )
+            if dash_phase2:
+                delta = (u_top * lora_index[None, :]) @ vt_top  # (out, in)
+                y = y + xd @ delta.T.astype(self.dtype)
+        return y.astype(x.dtype)
+
+
+def dash_svd_update(params: dict, scaling: float | None = None) -> dict:
+    """Host-side Dash phase boundary (mylora/layers.py:568-578, de-statefuled).
+
+    For every LoRADense subtree with dash params, SVD the frozen kernel,
+    rank the singular directions by |Δσ|/|σ| of the current LoRA delta and
+    fill weight_u_top / weight_vt_top with the top-`index` directions.
+    Returns a new params pytree.
+    """
+    import numpy as np
+
+    def visit(tree):
+        if isinstance(tree, dict):
+            keys = set(tree.keys())
+            if {"kernel", "lora_A", "lora_B", "weight_u_top", "weight_vt_top", "lora_index"} <= keys:
+                k = np.asarray(tree["kernel"], dtype=np.float32)  # (in, out)
+                w = k.T  # torch layout (out, in)
+                a = np.asarray(tree["lora_A"], dtype=np.float32)
+                b = np.asarray(tree["lora_B"], dtype=np.float32)
+                r = a.shape[0]
+                s = scaling if scaling is not None else 2.0
+                delta_w = (b @ a) * s
+                u, sigma, vt = np.linalg.svd(w, full_matrices=False)
+                delta_sigma = np.diag(u.T @ delta_w @ vt.T)
+                change_rate = np.abs(delta_sigma) / np.abs(sigma)
+                top = np.argsort(-change_rate)[: tree["weight_u_top"].shape[1]]
+                new = dict(tree)
+                new["weight_u_top"] = jnp.asarray(u[:, top])
+                new["weight_vt_top"] = jnp.asarray(vt[top, :])
+                return new
+            return {k2: visit(v) for k2, v in tree.items()}
+        return tree
+
+    return visit(params)

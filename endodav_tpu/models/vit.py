@@ -1,0 +1,267 @@
+"""DINOv2-style Vision Transformer, TPU-first (channels-last, static shapes).
+
+One ViT for the whole framework — the reference carried three byte-similar
+copies (models/backbones/vision_transformer.py, models/endodac/dinov2.py,
+models/endodav/dinov2.py); SURVEY.md §2.1 calls for deduplication.
+
+Reproduced behaviours (reference file:line):
+  * patch embed 14x14 conv + cls token + bicubic-interpolated pos embed
+    with the 0.1 offset workaround (vision_transformer.py:186-217)
+  * `include_cls_token` toggle (:107, 225-227)
+  * intermediate-layer taps with final LayerNorm applied per tap
+    (get_intermediate_layers :305-333)
+  * EndoDAC's ResBottleneck residual branch on patch tokens at selected
+    blocks (backbones/layers/block.py:98-108,146-150), zero-initialised so
+    adapted blocks start as identity (layers/utils.py:139-141)
+  * LayerScale with init 1e-5 (vit factories :361)
+  * LoRA adapters injected into every block MLP (endodav.py:102-118)
+
+Layout: images enter as [B, H, W, 3] channels-last; tokens are [B, N, D].
+All matmul-heavy ops run through `ops.attention` (Pallas on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from endodav_tpu.models.lora import LoRADense
+from endodav_tpu.ops.attention import multi_head_attention
+from endodav_tpu.ops.resize import resize2d
+
+__all__ = ["DinoViT", "VIT_CONFIGS"]
+
+VIT_CONFIGS = {
+    "vits": dict(embed_dim=384, depth=12, num_heads=6),
+    "vitb": dict(embed_dim=768, depth=12, num_heads=12),
+    "vitl": dict(embed_dim=1024, depth=24, num_heads=16),
+    "vitg": dict(embed_dim=1536, depth=40, num_heads=24),
+}
+
+
+class Mlp(nn.Module):
+    """Transformer MLP; fc1/fc2 carry the LoRA adapters (endodav.py:104-118)."""
+
+    hidden_features: int
+    out_features: int
+    lora_variant: str = "none"
+    lora_rank: int = 4
+    lora_alpha: float | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, dash_phase2: bool = False):
+        x = LoRADense(
+            self.hidden_features, r=self.lora_rank, lora_alpha=self.lora_alpha,
+            variant=self.lora_variant, dtype=self.dtype, name="fc1",
+        )(x, dash_phase2)
+        x = jax.nn.gelu(x, approximate=False)
+        x = LoRADense(
+            self.out_features, r=self.lora_rank, lora_alpha=self.lora_alpha,
+            variant=self.lora_variant, dtype=self.dtype, name="fc2",
+        )(x, dash_phase2)
+        return x
+
+
+class SpatialAttention(nn.Module):
+    """Fused-QKV MHSA (backbones/layers/attention.py:36-69)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = multi_head_attention(q, k, v)
+        out = out.reshape(b, n, c)
+        return nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.constant(self.init_value), (self.dim,), jnp.float32)
+        return x * gamma.astype(x.dtype)
+
+
+class _ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis of [B, H, W, C] maps.
+
+    Torch's channels-first LayerNorm (backbones/layers/utils.py:155-179);
+    channels-last makes it the standard last-axis LayerNorm.
+    """
+
+    features: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        scale_init = nn.initializers.zeros if self.zero_init else nn.initializers.ones
+        scale = self.param("weight", scale_init, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class ResBottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck over patch-token feature maps.
+
+    Zero-initialised final norm => identity at init
+    (backbones/layers/utils.py:90-152).
+    """
+
+    channels: int
+    bottleneck: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, ph, pw, C]
+        conv = lambda feats, ks, name: nn.Conv(
+            feats, (ks, ks), use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            name=name,
+        )
+        y = conv(self.bottleneck, 1, "conv1")(x)
+        y = _ChannelLayerNorm(self.bottleneck, name="norm1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = conv(self.bottleneck, 3, "conv2")(y)
+        y = _ChannelLayerNorm(self.bottleneck, name="norm2")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = conv(self.channels, 1, "conv3")(y)
+        y = _ChannelLayerNorm(self.channels, zero_init=True, name="norm3")(y)
+        return y
+
+
+class ViTBlock(nn.Module):
+    """Pre-norm transformer block + optional residual conv branch."""
+
+    dim: int
+    num_heads: int
+    patch_hw: tuple[int, int]
+    use_residual_block: bool = False
+    include_cls_token: bool = True
+    lora_variant: str = "none"
+    lora_rank: int = 4
+    lora_alpha: float | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, dash_phase2: bool = False):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
+        x = x + LayerScale(self.dim, name="ls1")(
+            SpatialAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(ln("norm1")(x))
+        )
+        x = x + LayerScale(self.dim, name="ls2")(
+            Mlp(
+                4 * self.dim, self.dim, self.lora_variant, self.lora_rank,
+                self.lora_alpha, dtype=self.dtype, name="mlp",
+            )(ln("norm2")(x), dash_phase2)
+        )
+        if self.use_residual_block:
+            ph, pw = self.patch_hw
+            ofs = 1 if self.include_cls_token else 0
+            b, n, c = x.shape
+            patches = x[:, ofs:, :].reshape(b, ph, pw, c)
+            patches = patches + ResBottleneckBlock(c, c // 8, dtype=self.dtype, name="residual_")(patches)
+            x = jnp.concatenate([x[:, :ofs, :], patches.reshape(b, n - ofs, c)], axis=1)
+        return x
+
+
+class DinoViT(nn.Module):
+    """DINOv2 ViT trunk with intermediate-layer taps.
+
+    ``__call__(images, take_indices)`` -> list of (patch_tokens, cls_token)
+    per tap, post final-LayerNorm — the `get_intermediate_layers(...,
+    return_class_token=True)` contract the DPT heads consume.
+    """
+
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    patch_size: int = 14
+    pos_grid: int = 37  # 518 / 14 — grid the pretrained pos-embed lives on
+    residual_block_indexes: Sequence[int] = ()
+    include_cls_token: bool = True
+    lora_variant: str = "none"
+    lora_rank: int = 4
+    lora_alpha: float | None = None
+    dtype: Any = jnp.float32
+
+    def interpolated_pos_embed(self, pos_embed, ph: int, pw: int):
+        """Bicubic pos-embed interpolation with the DINO 0.1 offset
+        (vision_transformer.py:186-217)."""
+        n = self.pos_grid * self.pos_grid
+        cls_pe = pos_embed[:, :1]
+        patch_pe = pos_embed[:, 1:]
+        if (ph, pw) == (self.pos_grid, self.pos_grid):
+            return pos_embed if self.include_cls_token else patch_pe
+        grid = patch_pe.reshape(1, self.pos_grid, self.pos_grid, self.embed_dim)
+        sh = (ph + 0.1) / self.pos_grid
+        sw = (pw + 0.1) / self.pos_grid
+        grid = resize2d(grid.astype(jnp.float32), (ph, pw), "bicubic", align_corners=False, scale_hw=(sh, sw))
+        flat = grid.reshape(1, ph * pw, self.embed_dim)
+        if self.include_cls_token:
+            return jnp.concatenate([cls_pe, flat], axis=1)
+        return flat
+
+    @nn.compact
+    def __call__(self, images, take_indices: Sequence[int], dash_phase2: bool = False):
+        b, h, w, _ = images.shape
+        ph, pw = h // self.patch_size, w // self.patch_size
+        n_pos = self.pos_grid * self.pos_grid + 1
+
+        x = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype, name="patch_embed",
+        )(images)
+        x = x.reshape(b, ph * pw, self.embed_dim)
+
+        cls_token = self.param("cls_token", nn.initializers.normal(1e-6), (1, 1, self.embed_dim), jnp.float32)
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, n_pos, self.embed_dim), jnp.float32
+        )
+        # kept for checkpoint-shape parity with DINOv2 weights (unused here)
+        self.param("mask_token", nn.initializers.zeros, (1, self.embed_dim), jnp.float32)
+
+        if self.include_cls_token:
+            x = jnp.concatenate([jnp.broadcast_to(cls_token.astype(x.dtype), (b, 1, self.embed_dim)), x], axis=1)
+        x = x + self.interpolated_pos_embed(pos_embed, ph, pw).astype(x.dtype)
+
+        final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+        take = set(int(i) for i in take_indices)
+        outputs = []
+        for i in range(self.depth):
+            x = ViTBlock(
+                self.embed_dim, self.num_heads, (ph, pw),
+                use_residual_block=i in self.residual_block_indexes,
+                include_cls_token=self.include_cls_token,
+                lora_variant=self.lora_variant, lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha, dtype=self.dtype, name=f"blocks_{i}",
+            )(x, dash_phase2)
+            if i in take:
+                outputs.append(x)
+
+        results = []
+        for out in outputs:
+            out = final_norm(out)
+            if self.include_cls_token:
+                results.append((out[:, 1:], out[:, 0]))
+            else:
+                # "not real cls tokens" (vision_transformer.py:323)
+                results.append((out, out[:, 0]))
+        return results

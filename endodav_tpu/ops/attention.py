@@ -1,0 +1,55 @@
+"""Multi-head attention dispatch: Pallas flash kernel on TPU, XLA fallback.
+
+This is the framework's counterpart of the reference's only native-kernel
+surface — xformers `memory_efficient_attention` for the spatial ViT
+(models/backbones/layers/attention.py:72-89) and the temporal motion
+modules (models/endodav/motion_module/attention.py:256-293).
+
+Two very different shapes flow through here (SURVEY.md §2.5):
+  * spatial ViT: B up to B*T(=32+), N ≈ 321 (224x280/14² + cls), Dh 64
+  * temporal:    B = B*H*W (huge), N = T = 32 (tiny), Dh = C/8
+
+For the temporal layout a sequence-tiled flash kernel is pointless — the
+whole (32, Dh) tile fits in VMEM; throughput comes from batching the grid
+over the B*H*W axis, which `kernels/flash_attention.py` does.  The XLA
+path below is used on CPU and as a correctness oracle.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["multi_head_attention"]
+
+
+def _xla_attention(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Attention over [B, N, H, Dh] tensors; returns [B, N, H, Dh].
+
+    ``scale`` defaults to Dh**-0.5 (matching both reference attention
+    implementations).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            from endodav_tpu.kernels.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, scale=scale)
+        except Exception:
+            pass
+    return _xla_attention(q, k, v, scale)

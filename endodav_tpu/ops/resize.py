@@ -1,0 +1,149 @@
+"""Separable image resize as dense interpolation matmuls (MXU-friendly).
+
+Every resize in the framework — decoder upsampling, disparity pyramid,
+pos-embed interpolation, eval preprocessing — is expressed as two dense
+matrix multiplies ``out = M_h @ x @ M_w^T`` with interpolation matrices
+precomputed from *static* shapes at trace time.  On TPU this maps straight
+onto the MXU and fuses with neighbouring ops, instead of the gather-based
+lowering XLA would emit for a generic `jax.image.resize`.
+
+The weight formulas reproduce the exact coordinate semantics the reference
+pipeline relies on (reference: models/endodav/endodav.py:153 bilinear
+align_corners=True; models/backbones/vision_transformer.py:204 bicubic with
+explicit scale factors; models/endodav/util/transform.py:113 cv2
+INTER_CUBIC; datasets/scared_video_dataset.py:188 antialiased bilinear):
+
+* torch ``align_corners=True``  : src = dst * (in-1)/(out-1)
+* torch ``align_corners=False`` : src = (dst+0.5)/scale - 0.5 (scale=out/in
+  unless an explicit scale factor is given), border-clamped
+* bicubic: Keys kernel with a = -0.75 (torch and OpenCV both use -0.75)
+* antialiased bilinear: triangle filter stretched by the downscale factor
+  (torchvision `antialias=True` semantics)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["interp_matrix", "resize2d", "resize_nchw"]
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys bicubic kernel with parameter ``a`` (torch/cv2 use a=-0.75)."""
+    x = np.abs(x)
+    x2 = x * x
+    x3 = x2 * x
+    out = np.where(
+        x <= 1.0,
+        (a + 2.0) * x3 - (a + 3.0) * x2 + 1.0,
+        np.where(x < 2.0, a * x3 - 5.0 * a * x2 + 8.0 * a * x - 4.0 * a, 0.0),
+    )
+    return out
+
+
+def _triangle_kernel(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.maximum(0.0, 1.0 - x)
+
+
+@functools.lru_cache(maxsize=None)
+def interp_matrix(
+    in_size: int,
+    out_size: int,
+    method: str = "bilinear",
+    align_corners: bool = False,
+    antialias: bool = False,
+    scale: float | None = None,
+) -> np.ndarray:
+    """Dense (out_size, in_size) float32 interpolation matrix.
+
+    ``scale``, when given, overrides out/in for the coordinate mapping —
+    this reproduces `F.interpolate(..., scale_factor=s)` semantics used for
+    ViT pos-embed interpolation (vision_transformer.py:204-209).
+    """
+    if in_size == out_size and not antialias:
+        return np.eye(out_size, dtype=np.float32)
+
+    dst = np.arange(out_size, dtype=np.float64)
+    eff_scale = scale if scale is not None else out_size / in_size
+
+    if method == "nearest":
+        src = np.floor(dst * (in_size / out_size)).astype(np.int64)
+        src = np.clip(src, 0, in_size - 1)
+        m = np.zeros((out_size, in_size), dtype=np.float32)
+        m[np.arange(out_size), src] = 1.0
+        return m
+
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros_like(dst)
+        else:
+            src = dst * (in_size - 1) / (out_size - 1)
+    else:
+        src = (dst + 0.5) / eff_scale - 0.5
+
+    if method == "bilinear":
+        kernel, support = _triangle_kernel, 1.0
+    elif method == "bicubic":
+        kernel, support = _cubic_kernel, 2.0
+    else:
+        raise ValueError(f"unknown resize method: {method}")
+
+    # Antialias: stretch the kernel by the downscale factor.
+    if antialias and eff_scale < 1.0:
+        kwidth = support / eff_scale
+        kscale = eff_scale
+    else:
+        kwidth = support
+        kscale = 1.0
+
+    lo = np.floor(src - kwidth).astype(np.int64)
+    hi = np.ceil(src + kwidth).astype(np.int64)
+    max_taps = int((hi - lo).max()) + 1
+
+    taps = lo[:, None] + np.arange(max_taps)[None, :]  # (out, taps)
+    w = kernel((taps - src[:, None]) * kscale)
+    if antialias and eff_scale < 1.0:
+        # torchvision antialias drops out-of-range taps and renormalizes
+        # over the in-range ones (no border replication).
+        w = np.where((taps < 0) | (taps > in_size - 1), 0.0, w)
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+
+    # Border clamp (replicate edge pixels) — matches torch/cv2 behaviour
+    # for the non-antialiased modes.
+    taps = np.clip(taps, 0, in_size - 1)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(m, (np.repeat(np.arange(out_size), max_taps), taps.ravel()), w.ravel())
+    return m.astype(np.float32)
+
+
+def resize2d(
+    x: jnp.ndarray,
+    size: tuple[int, int],
+    method: str = "bilinear",
+    align_corners: bool = False,
+    antialias: bool = False,
+    scale_hw: tuple[float, float] | None = None,
+) -> jnp.ndarray:
+    """Resize the (H, W) dims of a channels-last image ``(..., H, W, C)``."""
+    *lead, h, w, c = x.shape
+    oh, ow = size
+    if (oh, ow) == (h, w) and not antialias:
+        return x
+    sh, sw = (scale_hw if scale_hw is not None else (None, None))
+    mh = jnp.asarray(interp_matrix(h, oh, method, align_corners, antialias, sh))
+    mw = jnp.asarray(interp_matrix(w, ow, method, align_corners, antialias, sw))
+    y = x.reshape((-1, h, w * c))
+    y = jnp.einsum("ph,bhk->bpk", mh, y, preferred_element_type=jnp.float32)
+    y = y.reshape((-1, oh, w, c)).swapaxes(1, 2).reshape((-1, w, oh * c))
+    y = jnp.einsum("qw,bwk->bqk", mw, y, preferred_element_type=jnp.float32)
+    y = y.reshape((-1, ow, oh, c)).swapaxes(1, 2)
+    return y.reshape((*lead, oh, ow, c)).astype(x.dtype)
+
+
+def resize_nchw(x, size, **kw):
+    """Convenience wrapper for rare channel-first call sites."""
+    return jnp.moveaxis(resize2d(jnp.moveaxis(x, -3, -1), size, **kw), -1, -3)

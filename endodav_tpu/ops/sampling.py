@@ -1,0 +1,166 @@
+"""Differentiable image sampling and forward splatting on TPU.
+
+XLA has no native `grid_sample`; the bilinear warp used throughout the
+self-supervised losses (reference: trainer_end_to_end_video.py:861,
+utils/layers.py:406-426,496-519) is implemented here as a vectorised
+4-corner gather, and the forward-splat occupancy map
+(utils/layers.py:552-605, a CUDA `scatter_add_`) as a batched XLA
+scatter-add — both deterministic and jit/vmap/grad friendly.
+
+All images are channels-last ``[B, H, W, C]``; flow fields follow the
+reference's ``(dy, dx)`` channel order; normalized grids use ``(x, y)``
+like `torch.nn.functional.grid_sample`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "grid_sample",
+    "flow_warp",
+    "forward_splat_occupancy",
+    "occlusion_mask_backward",
+    "flow_consistency",
+]
+
+
+def _gather_hw(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
+    """Gather img[b, iy, ix, :] for integer index maps of shape [B, Ho, Wo]."""
+    b, h, w, c = img.shape
+    flat = img.reshape(b, h * w, c)
+    idx = (iy * w + ix).reshape(b, -1)
+    out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return out.reshape(b, *ix.shape[1:], c)
+
+
+def grid_sample(
+    img: jnp.ndarray,
+    grid: jnp.ndarray,
+    padding_mode: str = "border",
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Bilinear sampling with torch `grid_sample` semantics.
+
+    img:  [B, H, W, C]; grid: [B, Ho, Wo, 2] with normalized (x, y) in [-1, 1].
+    """
+    b, h, w, c = img.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (w - 1)
+        fy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = ((gx + 1.0) * w - 1.0) * 0.5
+        fy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+
+    xs = (x0.astype(jnp.int32), x0.astype(jnp.int32) + 1)
+    ys = (y0.astype(jnp.int32), y0.astype(jnp.int32) + 1)
+    out = 0.0
+    for i, yi in enumerate(ys):
+        for j, xi in enumerate(xs):
+            weight = (wy if i else 1.0 - wy) * (wx if j else 1.0 - wx)
+            xc = jnp.clip(xi, 0, w - 1)
+            yc = jnp.clip(yi, 0, h - 1)
+            val = _gather_hw(img, xc, yc)
+            if padding_mode == "zeros":
+                inside = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
+                weight = weight * inside[..., None]
+            out = out + weight * val
+    return out.astype(img.dtype)
+
+
+def flow_warp(src: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "border") -> jnp.ndarray:
+    """Warp ``src`` by a pixel-displacement field (SpatialTransformer parity).
+
+    src: [B, H, W, C]; flow: [B, H, W, 2] with channels (dy, dx) — the
+    reference stacks its sampling grid as (y, x) (utils/layers.py:398-401).
+    """
+    b, h, w, _ = src.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype), indexing="ij")
+    ny = yy[None] + flow[..., 0]
+    nx = xx[None] + flow[..., 1]
+    gx = 2.0 * (nx / (w - 1) - 0.5)
+    gy = 2.0 * (ny / (h - 1) - 0.5)
+    return grid_sample(src, jnp.stack([gx, gy], axis=-1), padding_mode=padding_mode)
+
+
+def forward_splat_occupancy(coords_xy: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Bilinear forward-splat of unit mass at unnormalized target coords.
+
+    coords_xy: [B, H, W, 2] with (x, y) pixel coordinates.  Returns the
+    occupancy map [B, H, W, 1] — how much source mass lands on each target
+    pixel.  Mirrors `get_corresponding_map` (utils/layers.py:552-605)
+    including its exact corner-weight and out-of-range conventions.
+    """
+    b = coords_xy.shape[0]
+    x = coords_xy[..., 0].reshape(b, -1)
+    y = coords_xy[..., 1].reshape(b, -1)
+
+    x1 = jnp.floor(x)
+    y1 = jnp.floor(y)
+    x0 = x1 + 1
+    y0 = y1 + 1
+
+    x_floor = jnp.clip(x1, 0, width - 1)
+    y_floor = jnp.clip(y1, 0, height - 1)
+    x_ceil = jnp.clip(x0, 0, width - 1)
+    y_ceil = jnp.clip(y0, 0, height - 1)
+
+    invalid_xc = x0 != x_ceil
+    invalid_yc = y0 != y_ceil
+    invalid_xf = x1 != x_floor
+    invalid_yf = y1 != y_floor
+
+    corners = [
+        (x_ceil, y_ceil, invalid_xc | invalid_yc),
+        (x_ceil, y_floor, invalid_xc | invalid_yf),
+        (x_floor, y_ceil, invalid_xf | invalid_yc),
+        (x_floor, y_floor, invalid_xf | invalid_yf),
+    ]
+    out = jnp.zeros((b, height * width), dtype=coords_xy.dtype)
+    batch_idx = jnp.arange(b)[:, None]
+    for cx, cy, invalid in corners:
+        val = (1.0 - jnp.abs(x - cx)) * (1.0 - jnp.abs(y - cy))
+        val = jnp.where(invalid, 0.0, val)
+        idx = (cy * width + cx).astype(jnp.int32)
+        out = out.at[batch_idx, idx].add(val)
+    return out.reshape(b, height, width, 1)
+
+
+def occlusion_mask_backward(flow_reverse: jnp.ndarray, th: float = 0.95):
+    """Occupancy-based backward occlusion mask (utils/layers.py:458-479).
+
+    flow_reverse: [B, H, W, 2] (dy, dx).  Returns (mask, map), both
+    [B, H, W, 1]; mask = (occupancy > th).
+    """
+    b, h, w, _ = flow_reverse.shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=flow_reverse.dtype),
+        jnp.arange(w, dtype=flow_reverse.dtype),
+        indexing="ij",
+    )
+    tx = xx[None] + flow_reverse[..., 1]
+    ty = yy[None] + flow_reverse[..., 0]
+    occu_map = forward_splat_occupancy(jnp.stack([tx, ty], axis=-1), h, w)
+    return (occu_map > th).astype(flow_reverse.dtype), occu_map
+
+
+def flow_consistency(flow12: jnp.ndarray, flow21: jnp.ndarray) -> jnp.ndarray:
+    """|flow12 + warp(flow21, flow12)| (utils/layers.py:482-519).
+
+    Both flows are [B, H, W, 2] (dy, dx).  Note the reference warps with
+    align_corners left at the torch default (False) here.
+    """
+    b, h, w, _ = flow12.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=flow12.dtype), jnp.arange(w, dtype=flow12.dtype), indexing="ij")
+    ny = yy[None] + flow12[..., 0]
+    nx = xx[None] + flow12[..., 1]
+    gx = 2.0 * (nx / (w - 1) - 0.5)
+    gy = 2.0 * (ny / (h - 1) - 0.5)
+    warped = grid_sample(flow21, jnp.stack([gx, gy], axis=-1), padding_mode="border", align_corners=False)
+    return jnp.abs(flow12 + warped)
