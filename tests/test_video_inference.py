@@ -1,0 +1,106 @@
+"""Parity test: batched windowed inference == reference sequential loop.
+
+We simulate the reference algorithm (endodav.py:186-254) step by step with
+a deterministic toy "model" whose per-frame output depends on the whole
+window (so keyframe carry-over matters), and check our batched
+window-index + stitch pipeline produces identical results.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from endodav_tpu.eval import metrics
+from endodav_tpu.eval.video_inference import infer_video_depth, keep_aspect_size, window_indices
+from endodav_tpu.models.endodav import INFER_LEN, INTERP_LEN, KEYFRAMES, OVERLAP
+
+RNG = np.random.default_rng(42)
+
+
+def toy_model_disp(window):
+    """[T, H, W] window -> [T, H, W] 'disparity': frame + 0.01 * window mean.
+
+    Depends on all frames in the window => sensitive to keyframe carry.
+    """
+    return 0.5 * window + 0.01 * window.mean() + 0.05
+
+
+def reference_sequential(frames):
+    """Literal simulation of the reference windowed loop + stitch."""
+    n = len(frames)
+    step = INFER_LEN - OVERLAP
+    append_len = (step - (n % step)) % step + (INFER_LEN - step)
+    frame_list = list(frames) + [frames[-1].copy()] * append_len
+
+    depth_list = []
+    pre_input = None
+    for frame_id in range(0, n, step):
+        cur = np.stack([frame_list[frame_id + i] for i in range(INFER_LEN)], axis=0)
+        if pre_input is not None:
+            cur[:OVERLAP] = pre_input[list(KEYFRAMES)]
+        depth = toy_model_disp(cur)
+        depth_list += [depth[i] for i in range(INFER_LEN)]
+        pre_input = cur
+
+    aligned = []
+    align_len = OVERLAP - INTERP_LEN
+    for frame_id in range(0, len(depth_list), INFER_LEN):
+        if not aligned:
+            aligned += depth_list[:INFER_LEN]
+        else:
+            pre = aligned[-INTERP_LEN:]
+            post = depth_list[frame_id + align_len : frame_id + OVERLAP]
+            s, t = metrics.compute_scale_and_shift(np.concatenate(post), np.concatenate(pre))
+            post = [np.maximum(p * s + t, 0) for p in post]
+            aligned[-INTERP_LEN:] = metrics.interpolate_frames(pre, post)
+            for i in range(OVERLAP, INFER_LEN):
+                aligned.append(np.maximum(depth_list[frame_id + i] * s + t, 0))
+    return np.stack(aligned[:n], axis=0)
+
+
+def test_window_indices_recurrence():
+    n = 80
+    idx = window_indices(n)
+    step = INFER_LEN - OVERLAP
+    assert idx.shape == (len(range(0, n, step)), INFER_LEN)
+    # window 0 reads [0..31]
+    np.testing.assert_array_equal(idx[0], np.clip(np.arange(INFER_LEN), 0, n - 1))
+    # window 1 slots 0..9 replay window 0's KEYFRAMES
+    np.testing.assert_array_equal(idx[1, :OVERLAP], idx[0, list(KEYFRAMES)])
+    np.testing.assert_array_equal(idx[1, OVERLAP:], np.clip(np.arange(step, step + INFER_LEN)[OVERLAP:], 0, n - 1))
+
+
+def test_batched_inference_matches_reference_loop():
+    n, h, w = 60, 6, 8
+    frames = RNG.uniform(0.1, 1.0, (n, h, w)).astype(np.float32)
+    want = reference_sequential(frames)
+
+    idx = window_indices(n)
+    windows = frames[idx]  # [W, T, h, w]
+    disp = np.stack([toy_model_disp(windows[i]) for i in range(idx.shape[0])], axis=0)
+
+    from endodav_tpu.eval.video_inference import _stitch
+
+    got = _stitch(disp, n)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_keep_aspect_size_scared():
+    # SCARED full-res 1024x1280 -> exactly the model-internal 224x280
+    assert keep_aspect_size(1024, 1280, 224, 280) == (224, 280)
+    # a 16:9 input lower-bounds to >= target then rounds to multiple of 14
+    th, tw = keep_aspect_size(720, 1280, 224, 280)
+    assert th >= 224 and tw >= 280 and th % 14 == 0 and tw % 14 == 0
+
+
+def test_infer_video_depth_end_to_end_shapes():
+    n, h, w = 45, 28, 42
+    frames = (RNG.uniform(0, 1, (n, h, w, 3)) * 255).astype(np.uint8)
+
+    def fwd(win):  # [C, T, h', w', 3] -> [C*T, h', w', 1]
+        c, t = win.shape[0], win.shape[1]
+        return win.mean(axis=-1, keepdims=True).reshape(c * t, *win.shape[2:4], 1) * 0.5 + 0.1
+
+    out = infer_video_depth(fwd, frames, image_shape=(28, 42), chunk_windows=2)
+    assert out.shape == (n, h, w)
+    assert np.isfinite(out).all()
