@@ -1,0 +1,247 @@
+"""SCARED dataset: training clip sampler + whole-sequence eval loader.
+
+Counterparts of datasets/scared_video_dataset.py:
+  * `ScaredVideoClips` — SCAREDRAWVideoDataset (:124-371): flattens all
+    keyframe dirs into global frame lists, samples length-T clips with
+    per-frame random step <= frame_max_interval (:249-253), a
+    `random_train` mode of T independent frames (:267-286), shared
+    color jitter + 4-scale cascaded pyramid, per-scale K, GT depth only
+    when not training (:299-300).
+  * `ScaredVideos` — whole-sequence RAM loader for eval (:77-121),
+    iterated directly (no DataLoader), incl. the `pred_root` re-eval mode.
+  * `ScaredFrames` — monodepth-style frame dataset for the endovis split
+    (datasets/mono_dataset.py:24-223 + scared_dataset.py:13-85).
+
+Outputs are numpy, channels-last; batching happens in `data.loader`.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from endodav_tpu.data import pipeline, readers
+
+__all__ = ["ScaredVideoClips", "ScaredVideos", "ScaredFrames"]
+
+
+class ScaredVideoClips:
+    def __init__(
+        self,
+        data_path: str,
+        filenames: list[str],
+        height: int,
+        width: int,
+        frame_idxs=(0, -1, 1),
+        num_scales: int = 4,
+        is_train: bool = False,
+        T: int = 4,
+        frame_max_interval: int = 1,
+        seed: int = 314,
+    ):
+        assert tuple(frame_idxs) == (0, -1, 1), "video trainer requires frame_ids [0,-1,1]"
+        self.data_path = data_path
+        self.height = height
+        self.width = width
+        self.frame_idxs = tuple(frame_idxs)
+        self.num_scales = num_scales
+        self.is_train = is_train
+        self.T = T
+        self.frame_max_interval = frame_max_interval
+        self.random_train = False
+        self.load_depth = not is_train
+        self.rng = np.random.default_rng(seed)
+
+        self.paths = {"left": [], "right": [], "depth": [], "pose": []}
+        for filename in filenames:
+            p = readers.list_frames(os.path.join(data_path, filename))
+            n = len(p["left"])
+            assert n > 0, f"no frames under {filename}"
+            for k in self.paths:
+                self.paths[k].extend(p[k] if p[k] else [None] * n)
+
+    def __len__(self):
+        n = len(self.paths["left"])
+        length = n - self.T - (len(self.frame_idxs) - 1) + 1 - self.frame_max_interval * self.T
+        return max(0, length // self.T)
+
+    def _load_colors(self, indices, flip: bool) -> np.ndarray:
+        frames = []
+        for i in indices:
+            img = readers.read_image(self.paths["left"][i]).astype(np.float32) / 255.0
+            if flip:
+                img = img[:, ::-1]
+            frames.append(img)
+        return np.stack(frames, axis=0)
+
+    def __getitem__(self, index: int) -> dict:
+        rng = self.rng
+        index = index * self.T + int(rng.integers(0, self.T))
+        if self.frame_max_interval > 1:
+            frame_steps = rng.integers(1, self.frame_max_interval, size=self.T + 2)
+        else:
+            frame_steps = np.ones(self.T + 2, dtype=np.int64)
+        do_aug = self.is_train and rng.random() > 0.5
+        do_flip = self.is_train and rng.random() > 0.5
+        jit = pipeline.sample_color_jitter(rng) if do_aug else None
+
+        inputs = {}
+        if self.random_train:
+            n = len(self.paths["left"])
+            base = rng.integers(self.frame_max_interval, n - self.frame_max_interval - 1, size=self.T)
+            for fi, offs in ((0, 0), (1, frame_steps[: self.T]), (-1, -frame_steps[: self.T])):
+                colors = self._load_colors(base + offs, do_flip)
+                cs, cas = pipeline.build_pyramid(colors, self.height, self.width, self.num_scales, jit)
+                for s in range(self.num_scales):
+                    inputs[("color", fi, s)] = cs[s]
+                    inputs[("color_aug", fi, s)] = cas[s]
+            indices = base
+        else:
+            indices_all = [index + fi * int(frame_steps[fi]) for fi in range(self.T + 2)]
+            indices = indices_all[1:-1]
+            colors = self._load_colors(indices_all, do_flip)
+            cs, cas = pipeline.build_pyramid(colors, self.height, self.width, self.num_scales, jit)
+            for fi in self.frame_idxs:
+                for s in range(self.num_scales):
+                    inputs[("color", fi, s)] = cs[s][1 + fi : self.T + 1 + fi].copy()
+                    inputs[("color_aug", fi, s)] = cas[s][1 + fi : self.T + 1 + fi].copy()
+
+        if self.load_depth and self.paths["depth"][0] is not None:
+            depths = []
+            for i in indices:
+                d = readers.read_scared_depth(self.paths["depth"][i])
+                if do_flip:
+                    d = d[:, ::-1]
+                depths.append(d[..., None])
+            inputs["depth_gt"] = np.stack(depths, axis=0)
+
+        for s in range(self.num_scales):
+            K, inv_K = pipeline.scaled_intrinsics(self.width, self.height, s)
+            inputs[("K", s)] = np.repeat(K[None], self.T, axis=0)
+            inputs[("inv_K", s)] = np.repeat(inv_K[None], self.T, axis=0)
+        return inputs
+
+
+class ScaredVideos:
+    """Whole-sequence eval loader; yields dicts of full sequences."""
+
+    def __init__(self, data_path: str, filenames: list[str], pred_root: str | None = None):
+        self.data_path = data_path
+        self.filenames = filenames
+        self.pred_root = pred_root
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def __getitem__(self, index: int) -> dict:
+        filename = self.filenames[index]
+        if self.pred_root is not None:
+            kd = os.path.join(self.data_path, filename)
+            depths = np.stack(
+                [readers.read_scared_depth(p) for p in readers.list_frames(kd)["depth"]], axis=0
+            )
+            pred_dir = os.path.join(self.pred_root, filename, "depth")
+            pred_paths = sorted(glob.glob(os.path.join(pred_dir, "*.npy")))
+            preds = np.stack([np.load(p).astype(np.float32) for p in pred_paths], axis=0)
+            return {"depths": depths, "pred_depths": preds, "filename": filename}
+        colors, depths, poses = readers.read_sequence(self.data_path, filename)
+        h, w = colors.shape[1:3]
+        K = pipeline.NORMALIZED_K.copy()
+        K[0, :] *= w
+        K[1, :] *= h
+        return {
+            "colors": colors,
+            "depths": depths,
+            "poses": poses,
+            "Ks": np.repeat(K[None], len(colors), axis=0),
+            "filename": filename,
+        }
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+class ScaredFrames:
+    """Frame-level dataset for the endovis split (line format
+    'folder frame_idx side'; path scheme mono_dataset.py:41-72)."""
+
+    def __init__(
+        self,
+        data_path: str,
+        filenames: list[str],
+        height: int,
+        width: int,
+        frame_idxs=(0, -1, 1),
+        num_scales: int = 4,
+        is_train: bool = False,
+        seed: int = 314,
+    ):
+        self.data_path = data_path
+        self.filenames = filenames
+        self.height = height
+        self.width = width
+        self.frame_idxs = tuple(frame_idxs)
+        self.num_scales = num_scales
+        self.is_train = is_train
+        self.rng = np.random.default_rng(seed)
+        self.side_map = {"l": "left", "r": "right"}
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def _frame_path(self, folder: str, frame_index: int, side: str) -> str:
+        return os.path.join(
+            self.data_path, folder, "data", self.side_map[side], f"{frame_index:06d}.png"
+        )
+
+    def _depth_path(self, folder: str, frame_index: int) -> str:
+        return os.path.join(self.data_path, folder, "data", "scene_points", f"{frame_index:06d}.tiff")
+
+    def __getitem__(self, index: int) -> dict:
+        rng = self.rng
+        parts = self.filenames[index].split()
+        folder = parts[0]
+        frame_index = int(parts[1]) if len(parts) == 3 else 0
+        side = parts[2] if len(parts) == 3 else "l"
+
+        do_aug = self.is_train and rng.random() > 0.5
+        do_flip = self.is_train and rng.random() > 0.5
+        jit = pipeline.sample_color_jitter(rng) if do_aug else None
+
+        inputs = {}
+        for fi in self.frame_idxs:
+            if fi == "s":
+                path = self._frame_path(folder, frame_index, {"l": "r", "r": "l"}[side])
+            else:
+                path = self._frame_path(folder, frame_index + fi, side)
+            img = readers.read_image(path).astype(np.float32) / 255.0
+            if do_flip:
+                img = img[:, ::-1]
+            cs, cas = pipeline.build_pyramid(img[None], self.height, self.width, self.num_scales, jit)
+            for s in range(self.num_scales):
+                inputs[("color", fi, s)] = cs[s][0]
+                inputs[("color_aug", fi, s)] = cas[s][0]
+
+        if not self.is_train:
+            dpath = self._depth_path(folder, frame_index)
+            if os.path.exists(dpath):
+                d = readers.read_scared_depth(dpath)
+                if do_flip:
+                    d = d[:, ::-1]
+                inputs["depth_gt"] = d[..., None]
+
+        for s in range(self.num_scales):
+            K, inv_K = pipeline.scaled_intrinsics(self.width, self.height, s)
+            inputs[("K", s)] = K
+            inputs[("inv_K", s)] = inv_K
+
+        if "s" in self.frame_idxs:
+            stereo_T = np.eye(4, dtype=np.float32)
+            baseline_sign = -1 if do_flip else 1
+            side_sign = -1 if side == "l" else 1
+            stereo_T[0, 3] = side_sign * baseline_sign * 0.1
+            inputs["stereo_T"] = stereo_T
+        return inputs
