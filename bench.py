@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark: sliding-window video-depth throughput on one chip.
+
+Measures the serving hot path (endodav.infer_video_depth counterpart,
+SURVEY.md §3.2) end-to-end: device preprocessing + batched window
+forward + full-res upsample + host stitch, on synthetic SCARED-shaped
+frames (256x320 -> model-internal 224x280, ViT-S video model).
+
+`vs_baseline` is the speedup of our batched-window pipeline over the
+reference's *sequential* window schedule executed on the same chip
+(window-at-a-time with a device sync per window — what a faithful port
+of endodav.py:193-208 would do), i.e. the measured gain of the
+TPU-first redesign on identical hardware.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from endodav_tpu.eval.video_inference import infer_video_depth
+    from endodav_tpu.models import EndoDAV
+
+    n_frames, h, w = 110, 256, 320
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (n_frames, h, w, 3), dtype=np.uint8)
+
+    model = EndoDAV(encoder="vits", lora_type="dvlora", residual_block_indexes=(2, 5, 8, 11),
+                    dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 224, 280, 3)))
+
+    @jax.jit
+    def fwd(win):
+        return model.apply(variables, win)[("disp", 0)].astype(jnp.float32)
+
+    def run(chunk):
+        out = infer_video_depth(fwd, frames, chunk_windows=chunk)
+        return out
+
+    # warm-up / compile both configurations
+    run(1)
+    run(2)
+
+    t0 = time.time()
+    run(2)
+    batched_s = time.time() - t0
+
+    t0 = time.time()
+    run(1)
+    sequential_s = time.time() - t0
+
+    fps = n_frames / batched_s
+    vs = sequential_s / batched_s
+    print(json.dumps({
+        "metric": "video_depth_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

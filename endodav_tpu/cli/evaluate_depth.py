@@ -1,0 +1,99 @@
+"""Single-frame depth eval against exported gt_depths.npz
+(evaluate_depth.py:130-239 parity), with `--ext_disp_to_eval` npy mode
+and the hamlyn/c3vd frame-eval splits."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from endodav_tpu.data import C3VDFrames, HamlynFrames, ScaredFrames, readlines
+from endodav_tpu.eval import engine
+from endodav_tpu.eval import metrics as M
+from endodav_tpu.geometry import disp_to_depth
+from endodav_tpu.ops.resize import resize2d
+from endodav_tpu.options import EndoDAVOptions
+
+HEADER = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
+
+
+def evaluate(opt):
+    max_depth = 100.0 if opt.eval_split == "c3vd" else 150.0
+
+    # gather (image, gt) pairs
+    if opt.eval_split in ("endovis", "scared_video"):
+        filenames = readlines(os.path.join(engine.SPLITS_DIR, "endovis", "test_files.txt"))
+        dataset = ScaredFrames(opt.data_path, filenames, opt.height, opt.width, frame_idxs=(0,))
+        gt_path = os.path.join(engine.SPLITS_DIR, "endovis", "gt_depths.npz")
+        gt_depths = np.load(gt_path, fix_imports=True, encoding="latin1")["data"] if os.path.exists(gt_path) else None
+    elif opt.eval_split == "hamlyn":
+        dataset = HamlynFrames(opt.data_path, opt.height, opt.width)
+        gt_depths = None
+    elif opt.eval_split == "c3vd":
+        dataset = C3VDFrames(opt.data_path, opt.height, opt.width)
+        gt_depths = None
+    else:
+        raise ValueError(opt.eval_split)
+
+    pred_disps = None
+    if opt.ext_disp_to_eval:
+        pred_disps = np.load(opt.ext_disp_to_eval)
+    else:
+        model, variables = engine.build_depth_model(opt)
+
+        @jax.jit
+        def fwd(img):
+            return model.apply(variables, img)[("disp", 0)]
+
+    errors, ratios = [], []
+    import time
+
+    times = []
+    for i in range(len(dataset)):
+        item = dataset[i]
+        if "depth_gt" in item:
+            gt = item["depth_gt"][..., 0]
+        elif gt_depths is not None:
+            gt = gt_depths[i]
+        else:
+            continue
+        if pred_disps is not None:
+            disp = pred_disps[i]
+        else:
+            t0 = time.time()
+            disp = np.asarray(fwd(jnp.asarray(item[("color", 0, 0)][None]))[0, ..., 0])
+            times.append((time.time() - t0) * 1000)
+        disp = np.asarray(
+            resize2d(jnp.asarray(disp[None, ..., None]), gt.shape[:2], "bilinear", align_corners=True)
+        )[0, ..., 0]
+        _, pred = disp_to_depth(disp, opt.min_depth, opt.max_depth)
+        pred = np.asarray(pred)
+        mask = (gt > 1e-3) & (gt < max_depth)
+        if mask.sum() == 0:
+            continue
+        if not opt.disable_median_scaling:
+            ratio = np.median(gt[mask]) / np.median(pred[mask])
+            ratios.append(ratio)
+            pred = pred * ratio
+        pred = np.clip(pred * opt.pred_depth_scale_factor, 1e-3, max_depth)
+        errors.append(M.compute_errors(gt, pred, mask))
+
+    mean_errors = np.array(errors).mean(0)
+    if ratios:
+        med = np.median(ratios)
+        print(f" Scaling ratios | med: {med:.3f} | std: {np.std(ratios / med):.3f}")
+    print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, mean_errors)))
+    if times:
+        print(f"average inference time: {np.mean(times):.2f} ms")
+    return mean_errors
+
+
+def main():
+    evaluate(EndoDAVOptions().parse())
+
+
+if __name__ == "__main__":
+    main()

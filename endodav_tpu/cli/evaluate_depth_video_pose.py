@@ -1,0 +1,60 @@
+"""Combined video depth + pose + intrinsics benchmark
+(evaluate_depth_video_pose.py:120-357 parity): video depth with TAE/TAS
+on the test split, per-sequence pairwise pose ATE/RE on 5-frame tracks,
+and normalized intrinsics statistics."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from endodav_tpu.data import ScaredVideos, readlines
+from endodav_tpu.eval import engine
+from endodav_tpu.options import EndoDAVOptions
+
+HEADER = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3", "tae", "tas")
+
+
+def evaluate(opt):
+    split_file = os.path.join(engine.SPLITS_DIR, opt.eval_split, "test_files.txt")
+    filenames = readlines(split_file)
+    sequences = ScaredVideos(opt.data_path, filenames)
+
+    model, variables = engine.build_depth_model(opt)
+    forward = engine.depth_window_forward(model, variables, opt.model_type)
+
+    depth_result = engine.evaluate_video_sequences(opt, sequences, forward)
+    vals = list(depth_result["mean_errors"]) + list(
+        depth_result["mean_temporal"] if depth_result["mean_temporal"] is not None else [np.nan] * 2
+    )
+    print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, vals)))
+
+    pose_results = []
+    for data in ScaredVideos(opt.data_path, filenames):
+        colors = data["colors"].astype(np.float32) / 255.0
+        pairs = np.concatenate([colors[1:], colors[:-1]], axis=-1)
+        from endodav_tpu.data.pipeline import resize_frames
+
+        pairs = resize_frames(pairs, (opt.height, opt.width))
+        gt_local = []
+        for i in range(len(data["poses"]) - 1):
+            gt_local.append((data["poses"][i + 1] @ np.linalg.inv(data["poses"][i])).astype(np.float32))
+        res = engine.evaluate_pose_pairs(opt, np.array(gt_local), pairs)
+        pose_results.append(res)
+        print(
+            f"{data['filename']}: ATE {res['ate_mean']:.4f}±{res['ate_std']:.4f} "
+            f"[{res['ate_ci'][0]:.4f}, {res['ate_ci'][1]:.4f}] | RE {res['re_mean']:.4f}±{res['re_std']:.4f}"
+        )
+        if opt.learn_intrinsics:
+            st = res["intrinsics_stats"]
+            print("  " + " ".join(f"{k}: {v[0]:.4f}±{v[1]:.4f}" for k, v in st.items()))
+    return {"depth": depth_result, "pose": pose_results}
+
+
+def main():
+    evaluate(EndoDAVOptions().parse())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""GT export tools (export_gt_depth.py / export_gt_pose.py parity).
+
+Packs SCARED GT depth tiffs (`scene_points*.tiff`, channel 0, rows
+0:1024) into `splits/<split>/gt_depths.npz` and GT relative poses into
+`splits/<split>/curve/gt_poses_sequence<N>.npz`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from endodav_tpu.data import readlines
+from endodav_tpu.data.readers import read_pose_json, read_scared_depth
+from endodav_tpu.eval.engine import SPLITS_DIR
+
+
+def _split_prefix(folder: str) -> str:
+    return "train" if int(folder[7]) < 8 else "test"
+
+
+def export_gt_depth(data_path: str, split: str):
+    lines = readlines(os.path.join(SPLITS_DIR, split, "test_files.txt"))
+    gt_depths = []
+    for line in lines:
+        parts = line.split()
+        folder, frame_index = parts[0], int(parts[1])
+        path = os.path.join(data_path, _split_prefix(folder), folder, "data",
+                            "scene_points", f"scene_points{frame_index:06d}.tiff")
+        gt_depths.append(read_scared_depth(path).astype(np.float32))
+    out = os.path.join(SPLITS_DIR, split, "gt_depths.npz")
+    np.savez_compressed(out, data=np.array(gt_depths, dtype=object), allow_pickle=True)
+    print(f"saved {len(gt_depths)} gt depths to {out}")
+
+
+def export_gt_pose(data_path: str, split: str, sequence: int):
+    lines = readlines(os.path.join(SPLITS_DIR, split, f"test_files_sequence{sequence}.txt"))
+    poses = []
+    for line in lines:
+        parts = line.split()
+        folder, frame_index = parts[0], int(parts[1])
+        p = os.path.join(data_path, _split_prefix(folder), folder, "data",
+                         "frame_data", f"frame_data{frame_index:06d}.json")
+        poses.append(read_pose_json(p))
+    # relative pose between consecutive frames: T_rel = P_{i+1} @ inv(P_i)
+    gt_local = []
+    for i in range(len(poses) - 1):
+        gt_local.append((poses[i + 1] @ np.linalg.inv(poses[i])).astype(np.float32))
+    out_dir = os.path.join(SPLITS_DIR, split, "curve")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"gt_poses_sequence{sequence}.npz")
+    np.savez_compressed(out, data=np.array(gt_local))
+    print(f"saved {len(gt_local)} relative poses to {out}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--split", default="endovis")
+    p.add_argument("--what", choices=["depth", "pose", "both"], default="both")
+    p.add_argument("--sequences", nargs="*", type=int, default=[1, 2])
+    args = p.parse_args()
+    if args.what in ("depth", "both"):
+        export_gt_depth(args.data_path, args.split)
+    if args.what in ("pose", "both"):
+        for seq in args.sequences:
+            export_gt_pose(args.data_path, args.split, seq)
+
+
+if __name__ == "__main__":
+    main()

@@ -192,13 +192,30 @@ class ScaredFrames:
     def __len__(self):
         return len(self.filenames)
 
+    @staticmethod
+    def _split_prefix(folder: str) -> str:
+        # dataset number < 8 lives under train/ (scared_dataset.py:44-48)
+        return "train" if int(folder[7]) < 8 else "test"
+
     def _frame_path(self, folder: str, frame_index: int, side: str) -> str:
         return os.path.join(
-            self.data_path, folder, "data", self.side_map[side], f"{frame_index:06d}.png"
+            self.data_path, self._split_prefix(folder), folder, "data",
+            self.side_map[side], f"{frame_index:010d}.png",
         )
 
     def _depth_path(self, folder: str, frame_index: int) -> str:
-        return os.path.join(self.data_path, folder, "data", "scene_points", f"{frame_index:06d}.tiff")
+        return os.path.join(
+            self.data_path, self._split_prefix(folder), folder, "data",
+            "scene_points", f"scene_points{frame_index:06d}.tiff",
+        )
+
+    def get_pose(self, folder: str, frame_index: int) -> np.ndarray:
+        """c2w pose (pinv of the stored w2c, scared_dataset.py:74-85)."""
+        path = os.path.join(
+            self.data_path, self._split_prefix(folder), folder, "data",
+            "frame_data", f"frame_data{frame_index:06d}.json",
+        )
+        return np.linalg.pinv(readers.read_pose_json(path))
 
     def __getitem__(self, index: int) -> dict:
         rng = self.rng

@@ -1,0 +1,271 @@
+"""Evaluation engine shared by the CLI entry points and the trainer.
+
+Implements the benchmark drivers' logic (evaluate_depth_video.py:50-253,
+evaluate_depth_video_hamlyn.py incl. the npy re-eval mode :124-179,
+evaluate_depth_video_pose.py:120-357, evaluate_pose.py:73-239,
+evaluate_depth.py:130-239) against our jit-compiled models, with the
+same protocol constants: MIN_DEPTH=1e-3, MAX_DEPTH=150 (100 for C3VD),
+median-scale or shift-and-scale alignment, 5-frame pose tracks, 95% CI.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from endodav_tpu.data import ScaredFrames, readlines
+from endodav_tpu.eval import metrics as M
+from endodav_tpu.eval.video_inference import infer_video_depth, infer_video_depth_single_frame
+from endodav_tpu.geometry import disp_to_depth, transformation_from_parameters
+from endodav_tpu.models import EndoDAC, EndoDAV
+from endodav_tpu.models.decoders import IntrinsicsHead, PoseDecoder
+from endodav_tpu.models.resnet import ResNetEncoder
+from endodav_tpu.utils import checkpoint as ckpt
+
+__all__ = [
+    "build_depth_model",
+    "load_component",
+    "depth_window_forward",
+    "evaluate_video_sequences",
+    "evaluate_pose_pairs",
+    "confidence_interval_95",
+    "SPLITS_DIR",
+]
+
+SPLITS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "splits"
+)
+MIN_DEPTH = 1e-3
+MAX_DEPTH = 150.0
+
+
+def build_depth_model(opt):
+    """Model definition + initialized/loaded variables for eval."""
+    import jax.numpy as jnp
+
+    from endodav_tpu.train.trainer import build_models, init_variables
+
+    mods = build_models(opt)
+    model = mods["depth_model"]
+    variables = None
+    if opt.load_weights_folder:
+        folder = os.path.expanduser(opt.load_weights_folder)
+        native = os.path.join(folder, "depth_model.msgpack")
+        torch_pth = os.path.join(folder, "depth_model.pth")
+        if os.path.exists(native) or os.path.exists(torch_pth):
+            variables = _init_depth_variables(model, opt)
+            if os.path.exists(native):
+                variables = ckpt.load_pytree(native, variables)
+            else:
+                sd = ckpt.load_torch_file(torch_pth)
+                variables, report = ckpt.torch_to_flax(sd, opt.model_type, variables)
+                print(f"[eval] converted {len(report['used'])} tensors from {torch_pth}")
+    if variables is None:
+        variables = _init_depth_variables(model, opt)
+        if opt.pretrained_path:
+            name = f"video_depth_anything_{opt.encoder}.pth" if opt.model_type == "endodav" else (
+                f"depth_anything_v2_{opt.encoder}.pth"
+            )
+            path = os.path.join(opt.pretrained_path, name)
+            if os.path.exists(path):
+                sd = ckpt.load_torch_file(path)
+                variables, report = ckpt.torch_to_flax(sd, opt.model_type, variables)
+                print(f"[eval] loaded pretrained {path}: {len(report['used'])} tensors")
+    return model, variables
+
+
+def _init_depth_variables(model, opt):
+    h, w = getattr(opt, "depth_image_shape", (224, 280))
+    key = jax.random.PRNGKey(0)
+    if opt.model_type == "endodav":
+        return model.init(key, jnp.zeros((1, 2, h, w, 3)))
+    return model.init(key, jnp.zeros((1, h, w, 3)))
+
+
+def load_component(opt, name, module, init_args):
+    """Load a pose-stack component from load_weights_folder
+    (.msgpack native or .pth torch)."""
+    variables = module.init(jax.random.PRNGKey(0), *init_args)
+    folder = os.path.expanduser(opt.load_weights_folder)
+    native = os.path.join(folder, f"{name}.msgpack")
+    torch_pth = os.path.join(folder, f"{name}.pth")
+    if os.path.exists(native):
+        variables = ckpt.load_pytree(native, variables)
+    elif os.path.exists(torch_pth):
+        sd = ckpt.load_torch_file(torch_pth)
+        comp = "resnet_encoder" if "encoder" in name else "decoder"
+        variables, _ = ckpt.torch_to_flax(sd, comp, variables)
+    return variables
+
+
+def depth_window_forward(model, variables, model_type: str):
+    """Jitted forward for the video-inference drivers."""
+    if model_type == "endodav":
+
+        @jax.jit
+        def fwd(win):  # [C, T, h, w, 3] -> [C*T, h', w', 1]
+            return model.apply(variables, win)[("disp", 0)]
+
+        return fwd
+
+    @jax.jit
+    def fwd_single(batch):  # [B, h, w, 3] -> [B, h', w', 1]
+        return model.apply(variables, batch)[("disp", 0)]
+
+    return fwd_single
+
+
+def confidence_interval_95(values):
+    import scipy.stats as st
+
+    values = np.asarray(values)
+    if len(values) < 2:
+        return np.array([np.nan, np.nan])
+    return np.array(
+        st.t.interval(0.95, df=len(values) - 1, loc=np.mean(values), scale=st.sem(values))
+    )
+
+
+def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
+                             with_temporal=True, pred_depths_fn=None):
+    """Shared video-depth benchmark loop.
+
+    sequences: iterable of dicts with colors/depths[/poses/Ks]/filename
+    (or depths+pred_depths in re-eval mode).  Returns a results dict with
+    per-sequence and mean metrics + timing.
+    """
+    errors, errors_temp, ratios = [], [], []
+    align_stats = []
+    per_sequence = []
+    infer_times = []
+    for data in sequences:
+        if "pred_depths" in data:
+            pred_depths = data["pred_depths"].astype(np.float64)
+            if opt.disp2depth:
+                pred_depths = 1.0 / np.clip(pred_depths, 1e-6, None)
+        else:
+            t0 = time.time()
+            if pred_depths_fn is not None:
+                disp = pred_depths_fn(data["colors"])
+            elif opt.model_type == "endodav":
+                disp = infer_video_depth(forward, data["colors"], chunk_windows=opt.chunk_windows)
+            else:
+                disp = infer_video_depth_single_frame(forward, data["colors"])
+            infer_times.append((time.time() - t0) / len(data["colors"]) * 1000.0)
+            _, pred_depths = disp_to_depth(disp, opt.min_depth, opt.max_depth)
+            pred_depths = np.asarray(pred_depths)
+
+        gt_depths = data["depths"]
+        if opt.depth_align == "scale":
+            pred_depths, ratio = M.median_scaling(gt_depths, pred_depths, MIN_DEPTH, max_depth)
+            if not np.isnan(ratio):
+                ratios.append(ratio)
+        else:
+            pred_depths, *stats = M.align_shift_and_scale(gt_depths, pred_depths, MIN_DEPTH, max_depth)
+            align_stats.append(stats)
+
+        seq_errors, seq_temp = [], []
+        prev = None
+        has_pose = with_temporal and "poses" in data
+        for idx in range(len(gt_depths)):
+            gt = gt_depths[idx]
+            pred = pred_depths[idx] * opt.pred_depth_scale_factor
+            mask = (gt > MIN_DEPTH) & (gt < max_depth)
+            pred = np.clip(pred, MIN_DEPTH, max_depth)
+            e = M.compute_errors(gt, pred, mask)
+            if not np.isnan(e).all():
+                seq_errors.append(e)
+            if has_pose:
+                i2l = np.linalg.inv(data["Ks"][idx] @ data["poses"][idx])
+                if prev is not None:
+                    seq_temp.append(
+                        [
+                            M.tae(prev[0], prev[1], prev[2], pred, mask, i2l) * 100.0,
+                            M.tas(prev[0], prev[1], prev[2], pred, mask, i2l),
+                        ]
+                    )
+                prev = (pred, mask, i2l)
+        errors.extend(seq_errors)
+        errors_temp.extend(seq_temp)
+        per_sequence.append(
+            {
+                "filename": data.get("filename", ""),
+                "errors": np.array(seq_errors).mean(0).tolist() if seq_errors else None,
+                "temporal": np.array(seq_temp).mean(0).tolist() if seq_temp else None,
+            }
+        )
+
+    result = {
+        "mean_errors": np.array(errors).mean(0) if errors else np.full(7, np.nan),
+        "ci": confidence_interval_95([e[0] for e in errors]),
+        "mean_temporal": np.array(errors_temp).mean(0) if errors_temp else None,
+        "per_sequence": per_sequence,
+        "mean_infer_ms": float(np.mean(infer_times)) if infer_times else None,
+        "ratios": ratios,
+        "align_stats": align_stats,
+    }
+    return result
+
+
+def evaluate_pose_pairs(opt, gt_local_poses, colors_pairs, pose_modules=None):
+    """Pairwise pose inference + 5-frame track ATE/RE.
+
+    colors_pairs: [N, H, W, 6] float32 stacked (frame_{t+1}, frame_t)
+    pairs (evaluate_pose.py:128-133 input order: cat(color_1, color_0)).
+    """
+    if pose_modules is None:
+        enc = ResNetEncoder(opt.num_layers, num_input_images=2)
+        dec = PoseDecoder(num_frames_to_predict_for=2)
+        intr = IntrinsicsHead()
+        enc_v = load_component(opt, "pose_encoder", enc, (jnp.zeros((1, opt.height, opt.width, 6)),))
+        feats = enc.apply(enc_v, jnp.zeros((1, opt.height, opt.width, 6)), train=False)
+        dec_v = load_component(opt, "pose", dec, ([feats[-1]],))
+        intr_v = load_component(opt, "intrinsics_head", intr, (jnp.zeros((1, 8, 10, 256)), opt.width, opt.height))
+        pose_modules = (enc, enc_v, dec, dec_v, intr, intr_v)
+    enc, enc_v, dec, dec_v, intr, intr_v = pose_modules
+
+    @jax.jit
+    def pose_fwd(pair):
+        feats = enc.apply(enc_v, pair, train=False)
+        axisangle, translation, mid = dec.apply(dec_v, [feats[-1]])
+        K = intr.apply(intr_v, mid, opt.width, opt.height)
+        T = transformation_from_parameters(axisangle[:, 0, 0], translation[:, 0, 0])
+        return T, K
+
+    pred_poses, pred_Ks = [], []
+    for i in range(len(colors_pairs)):
+        T, K = pose_fwd(jnp.asarray(colors_pairs[i : i + 1]))
+        pred_poses.append(np.asarray(T)[0])
+        pred_Ks.append(np.asarray(K)[0, :3, :3])
+    pred_poses = np.stack(pred_poses)
+    pred_Ks = np.stack(pred_Ks)
+
+    track = 5
+    ates, res = [], []
+    n = min(len(gt_local_poses), len(pred_poses))
+    for i in range(n):
+        local_xyzs = np.array(M.dump_xyz(pred_poses[i : i + track - 1]))
+        gt_xyzs = np.array(M.dump_xyz(gt_local_poses[i : i + track - 1]))
+        local_rs = np.array(M.dump_r(pred_poses[i : i + track - 1]))
+        gt_rs = np.array(M.dump_r(gt_local_poses[i : i + track - 1]))
+        ates.append(M.compute_ate(gt_xyzs, local_xyzs))
+        res.append(M.compute_re(local_rs, gt_rs))
+    return {
+        "pred_poses": pred_poses,
+        "pred_intrinsics": pred_Ks,
+        "ate_mean": float(np.mean(ates)),
+        "ate_std": float(np.std(ates)),
+        "ate_ci": confidence_interval_95(ates),
+        "re_mean": float(np.mean(res)),
+        "re_std": float(np.std(res)),
+        "intrinsics_stats": {
+            "fx": (float(pred_Ks[:, 0, 0].mean() / opt.width), float(pred_Ks[:, 0, 0].std() / opt.width)),
+            "fy": (float(pred_Ks[:, 1, 1].mean() / opt.height), float(pred_Ks[:, 1, 1].std() / opt.height)),
+            "cx": (float(pred_Ks[:, 0, 2].mean() / opt.width), float(pred_Ks[:, 0, 2].std() / opt.width)),
+            "cy": (float(pred_Ks[:, 1, 2].mean() / opt.height), float(pred_Ks[:, 1, 2].std() / opt.height)),
+        },
+    }

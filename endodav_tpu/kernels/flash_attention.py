@@ -1,0 +1,129 @@
+"""Pallas TPU attention kernel for the ViT spatial path.
+
+TPU-native replacement for the reference's only native-kernel surface —
+xformers `memory_efficient_attention` (models/backbones/layers/
+attention.py:72-89, motion_module/attention.py:256-293).
+
+Shape regime (SURVEY.md §2.5): sequences are *short* — N = 321 tokens at
+224x280 (+cls), ≤ 1370 at 518px — while the batch axis is huge (windows
+× frames × heads).  So unlike LLM flash attention there is no need for
+online-softmax KV tiling: a whole (N, Dh) K/V block fits comfortably in
+VMEM (1370 x 64 x 4 B ≈ 350 KB).  The kernel therefore:
+
+  * grids over (batch, heads, q-blocks) — all parallel dimensions,
+  * keeps K/V whole in VMEM per (b, h) cell,
+  * computes the f32 scores tile, masked softmax and P@V on the MXU in
+    one fused pass (no HBM round-trip for the N×N scores, which is what
+    makes the XLA fallback bandwidth-bound).
+
+Sequence padding to the 128-lane grid is handled here with key masking.
+The backward pass recomputes scores in plain XLA (cheap at these N) via
+custom_vjp, so the kernel is usable inside the LoRA training step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int, block_q: int):
+    q = q_ref[0, 0]  # [block_q, dh]
+    k = k_ref[0, 0]  # [n_pad, dh]
+    v = v_ref[0, 0]
+    n_pad = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    if n_valid != n_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, _MASK_VALUE)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    p = p / denom
+    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, scale: float | None = None):
+    """Attention over [B, N, H, Dh]; returns [B, N, H, Dh]."""
+    return _forward(q, k, v, scale)
+
+
+def _forward(q, k, v, scale):
+    b, n, h, dh = q.shape
+    if scale is None:
+        scale = dh ** -0.5
+    n_pad = _round_up(n, 128)
+    block_q = min(n_pad, 512)
+
+    def prep(x):
+        x = jnp.swapaxes(x, 1, 2)  # [B, H, N, Dh]
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        return x
+
+    qt, kt, vt = prep(q), prep(k), prep(v)
+    grid = (b, h, n_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, n_valid=n, block_q=block_q),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, dh), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_pad, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_pad, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(qt, kt, vt)
+    out = out[:, :, :n, :]
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _fwd(q, k, v, scale):
+    return _forward(q, k, v, scale), (q, k, v)
+
+
+def _bwd(scale, res, g):
+    """XLA backward via recompute — N is small (≤1370), so the N×N scores
+    tile is cheap to rebuild and XLA fuses the chain well."""
+    q, k, v = res
+    dh = q.shape[-1]
+    sc = dh ** -0.5 if scale is None else scale
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * sc
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p.astype(g.dtype), g, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g, v, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k, preferred_element_type=jnp.float32) * sc
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q, preferred_element_type=jnp.float32) * sc
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LoRADense", "dash_svd_update"]
+__all__ = ["LoRADense", "LoRAConv", "LoRAEmbed", "dash_svd_update"]
 
 
 def _kaiming_uniform_sqrt5(key, shape, dtype=jnp.float32):
@@ -44,6 +44,10 @@ class LoRADense(nn.Module):
       * "ssb"    — kernel scaled per-row/col: K' = a ⊙ K ⊙ b
       * "dash"   — lora plus top-8 singular-direction term, gated by
                    ``dash_phase2`` (the reference's FLAG>warmup branch)
+      * "galora" — gated LoRA: the delta passes through a SiLU gate
+                   delta*sigmoid(delta) (models/backbones/galora.py:129-142)
+      * "flora"  — SVD-style A/E/B factorisation with ranknum scaling
+                   (mylora Linear_FLora :433-495)
 
     The base kernel is stored transposed relative to torch (in, out) —
     flax convention; the converter transposes.
@@ -84,9 +88,22 @@ class LoRADense(nn.Module):
             return y
 
         alpha = self.lora_alpha if self.lora_alpha is not None else 2.0 * self.r
+
+        if self.variant == "flora":
+            lora_a = self.param("lora_A", nn.initializers.normal(0.02), (self.r, in_features), jnp.float32)
+            lora_e = self.param("lora_E", nn.initializers.zeros, (self.r, self.r), jnp.float32)
+            lora_b = self.param("lora_B", nn.initializers.normal(0.02), (self.features, self.r), jnp.float32)
+            scale = (alpha if alpha > 0 else float(self.r)) / (self.r + 1e-5)
+            delta = (xd @ lora_a.T.astype(self.dtype)) @ lora_e.T.astype(self.dtype) @ lora_b.T.astype(self.dtype)
+            return (y + delta * scale).astype(x.dtype)
+
         scaling = alpha / self.r
         lora_a = self.param("lora_A", _kaiming_uniform_sqrt5, (self.r, in_features), jnp.float32)
         lora_b = self.param("lora_B", nn.initializers.zeros, (self.features, self.r), jnp.float32)
+
+        if self.variant == "galora":
+            delta = (xd @ lora_a.T.astype(self.dtype) @ lora_b.T.astype(self.dtype)) * scaling
+            return (y + delta * jax.nn.sigmoid(delta)).astype(x.dtype)
 
         if self.variant == "dvlora":
             lora_u = self.param(
@@ -117,6 +134,65 @@ class LoRADense(nn.Module):
                 delta = (u_top * lora_index[None, :]) @ vt_top  # (out, in)
                 y = y + xd @ delta.T.astype(self.dtype)
         return y.astype(x.dtype)
+
+
+class LoRAConv(nn.Module):
+    """Conv2d with a low-rank kernel delta (mylora Conv2d :264-322).
+
+    The torch original factorises the flattened kernel as
+    lora_B [out*k, r*k] @ lora_A [r*k, in*k] reshaped to the conv weight;
+    we keep the same parameter shapes for checkpoint parity.
+    """
+
+    features: int
+    kernel_size: int
+    r: int = 4
+    lora_alpha: float = 1.0
+    strides: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, in_ch, self.features), jnp.float32
+        )
+        lora_a = self.param("lora_A", _kaiming_uniform_sqrt5, (self.r * k, in_ch * k), jnp.float32)
+        lora_b = self.param("lora_B", nn.initializers.zeros, (self.features * k, self.r * k), jnp.float32)
+        delta = (lora_b @ lora_a).reshape(self.features, in_ch, k, k)
+        delta = jnp.transpose(delta, (2, 3, 1, 0))  # -> (kh, kw, in, out)
+        w = (kernel + delta * (self.lora_alpha / self.r)).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w, (self.strides, self.strides), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32).astype(self.dtype)
+        return y.astype(x.dtype)
+
+
+class LoRAEmbed(nn.Module):
+    """Embedding with low-rank delta (mylora Embedding :32-89)."""
+
+    num_embeddings: int
+    features: int
+    r: int = 4
+    lora_alpha: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids):
+        table = self.param(
+            "embedding", nn.initializers.normal(1.0), (self.num_embeddings, self.features), jnp.float32
+        )
+        lora_a = self.param("lora_A", nn.initializers.zeros, (self.r, self.num_embeddings), jnp.float32)
+        lora_b = self.param("lora_B", nn.initializers.normal(1.0), (self.features, self.r), jnp.float32)
+        base = jnp.take(table, ids, axis=0)
+        after_a = jnp.take(lora_a.T, ids, axis=0)  # [..., r]
+        delta = after_a @ lora_b.T * (self.lora_alpha / self.r)
+        return (base + delta).astype(self.dtype)
 
 
 def dash_svd_update(params: dict, scaling: float | None = None) -> dict:

@@ -1,0 +1,453 @@
+"""End-to-end video training orchestrator (mesh-parallel, jit-compiled).
+
+Functional counterpart of `Trainer` (trainer_end_to_end_video.py:24-1143):
+  * model dict {depth_model, position_encoder, position, transform_encoder,
+    transform, pose_encoder, pose, intrinsics_head} (:54-137)
+  * two Adam optimizers: main (lr 1e-4, StepLR x0.1 @ scheduler_step_size)
+    for depth/pose/transform, optimizer_0 (lr 1e-4) for the position nets
+    (:139-144) — here two gated-Adam states inside ONE jitted step that
+    runs both backward passes per batch (:395-446)
+  * trainability schedules as step-indexed gradient gates (train/optim.py)
+  * data parallelism: the reference wraps every sub-model in
+    nn.DataParallel (:269-271); here the jitted step runs SPMD over a
+    `jax.sharding.Mesh` with the flattened B*T batch axis sharded on
+    'data' and params replicated — XLA inserts the gradient all-reduce
+    over ICI.  LoRA-only gradients keep the all-reduce payload tiny.
+  * per-epoch full eval + best-RMSE checkpointing (:376-394, 448-629)
+  * TensorBoard scalars/images (:1051-1081), opt.json snapshot (:1083).
+
+BatchNorm note: torch updates running stats on each of the 4 position-
+encoder applications per step; we keep the last application's stats
+(one update per step) — training-equivalent, documented divergence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from endodav_tpu.data import Loader, ScaredVideoClips, ScaredVideos, readlines
+from endodav_tpu.eval import metrics as M
+from endodav_tpu.eval.video_inference import infer_video_depth
+from endodav_tpu.geometry import disp_to_depth
+from endodav_tpu.models import EndoDAC, EndoDAV
+from endodav_tpu.models.decoders import IntrinsicsHead, PoseDecoder, PositionDecoder, TransformDecoder
+from endodav_tpu.models.resnet import ResNetEncoder, resnet_num_ch_enc
+from endodav_tpu.train import losses as L
+from endodav_tpu.train import optim as O
+from endodav_tpu.utils import checkpoint as ckpt
+
+__all__ = ["Trainer", "build_models", "init_variables"]
+
+SPLITS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "splits")
+
+MAIN_COMPONENTS = ("depth_model", "transform_encoder", "transform", "pose_encoder", "pose", "intrinsics_head")
+POSITION_COMPONENTS = ("position_encoder", "position")
+
+
+def build_models(opt) -> dict:
+    dtype = jnp.bfloat16 if getattr(opt, "compute_dtype", "float32") == "bfloat16" else jnp.float32
+    residual_idx = [] if opt.disable_residual_block else tuple(opt.residual_block_indexes)
+    image_shape = tuple(getattr(opt, "depth_image_shape", (224, 280)))
+    if opt.model_type == "endodav":
+        depth = EndoDAV(
+            encoder=opt.encoder, r=opt.lora_rank, lora_type=opt.lora_type,
+            image_shape=image_shape, residual_block_indexes=residual_idx,
+            include_cls_token=opt.include_cls_token, inv_sigmoid=opt.inv_sigmoid,
+            temporal_lora=opt.temporal_lora, conv_head=not opt.disable_conv_head,
+            out_sigmoid=opt.out_sigmoid, dtype=dtype,
+        )
+    elif opt.model_type == "afsfm":
+        from endodav_tpu.models import AFSfMDepth
+
+        depth = AFSfMDepth(num_layers=opt.num_layers, scales=tuple(opt.scales), dtype=dtype)
+    else:
+        size = {"vits": "vits", "vitb": "vitb"}.get(opt.encoder, "vits")
+        depth = EndoDAC(
+            backbone_size=size, r=opt.lora_rank, lora_type=opt.lora_type,
+            image_shape=image_shape, residual_block_indexes=residual_idx,
+            include_cls_token=opt.include_cls_token, pre_norm=opt.pre_norm,
+            inv_sigmoid=opt.inv_sigmoid, conv_head=not opt.disable_conv_head, dtype=dtype,
+        )
+    num_ch = resnet_num_ch_enc(opt.num_layers)
+    return {
+        "depth_model": depth,
+        "position_encoder": ResNetEncoder(opt.num_layers, num_input_images=2, dtype=dtype),
+        "position": PositionDecoder(num_ch, tuple(opt.scales), dtype=dtype),
+        "transform_encoder": ResNetEncoder(opt.num_layers, num_input_images=2, dtype=dtype),
+        "transform": TransformDecoder(num_ch, tuple(opt.scales), dtype=dtype),
+        "pose_encoder": ResNetEncoder(opt.num_layers, num_input_images=2, dtype=dtype),
+        "pose": PoseDecoder(num_frames_to_predict_for=2, dtype=dtype),
+        "intrinsics_head": IntrinsicsHead(dtype=dtype),
+    }
+
+
+def init_variables(mods: dict, opt, seed: int = 314) -> dict:
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, len(mods))
+    H, W, T = opt.height, opt.width, max(opt.T, 1)
+    variables = {}
+    img2 = jnp.zeros((1, H, W, 6))
+    with jax.default_device(jax.local_devices()[0]):
+        if opt.model_type == "endodav":
+            variables["depth_model"] = mods["depth_model"].init(keys[0], jnp.zeros((1, T, H, W, 3)))
+        else:
+            variables["depth_model"] = mods["depth_model"].init(keys[0], jnp.zeros((1, H, W, 3)))
+        variables["position_encoder"] = mods["position_encoder"].init(keys[1], img2, train=False)
+        feats = mods["position_encoder"].apply(variables["position_encoder"], img2, train=False)
+        variables["position"] = mods["position"].init(keys[2], feats)
+        variables["transform_encoder"] = mods["transform_encoder"].init(keys[3], img2, train=False)
+        variables["transform"] = mods["transform"].init(keys[4], feats)
+        variables["pose_encoder"] = mods["pose_encoder"].init(keys[5], img2, train=False)
+        variables["pose"] = mods["pose"].init(keys[6], [feats[-1]])
+        variables["intrinsics_head"] = mods["intrinsics_head"].init(
+            keys[7], jnp.zeros((1, H // 16, W // 16, 256)), W, H
+        )
+    return variables
+
+
+def _flatten_bt(batch: dict) -> dict:
+    """Flatten [B, T, ...] -> [B*T, ...] (trainer:406-409)."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 3:
+            out[k] = v.reshape(-1, *v.shape[2:])
+        else:
+            out[k] = v
+    return out
+
+
+class Trainer:
+    def __init__(self, opt):
+        self.opt = opt
+        assert opt.height % 32 == 0 and opt.width % 32 == 0
+        assert opt.frame_ids[0] == 0
+        self.log_path = os.path.join(opt.log_dir, opt.model_type)
+        self.mods = build_models(opt)
+        self.variables = init_variables(self.mods, opt)
+
+        if opt.pretrained_path:
+            self._load_pretrained()
+        if opt.load_weights_folder:
+            self.load_model()
+
+        # optimizer states
+        self.main_params = {k: self.variables[k]["params"] for k in MAIN_COMPONENTS}
+        self.pos_params = {k: self.variables[k]["params"] for k in POSITION_COMPONENTS}
+        self.opt_state = O.init_adam(self.main_params)
+        self.opt_state_0 = O.init_adam(self.pos_params)
+        self.groups = O.assign_groups(self.main_params)
+
+        # mesh: devices on one 'data' axis (reference DP, trainer:269-271);
+        # --mesh_shape 'data=N' restricts to the first N devices
+        mesh_spec = getattr(opt, "mesh_shape", "") or ""
+        n_dev = len(jax.devices())
+        if mesh_spec.startswith("data="):
+            n_dev = min(n_dev, int(mesh_spec.split("=")[1]))
+        devs = np.array(jax.devices()[:n_dev])
+        self.mesh = Mesh(devs.reshape(-1), ("data",))
+        self.repl = NamedSharding(self.mesh, P())
+        self.batch_shard = NamedSharding(self.mesh, P("data"))
+
+        self.sched_cfg = {
+            "lora_type": opt.lora_type,
+            "warm_up_step": opt.warm_up_step,
+            "tune_depth_interval": opt.tune_depth_interval,
+            "temporal_lora": opt.temporal_lora,
+            "tune_spatial_interval": opt.tune_spatial_interval,
+            "tune_temporal_interval": opt.tune_temporal_interval,
+            "train_output_conv": opt.train_output_conv,
+        }
+        self.loss_cfg = {
+            "scales": tuple(opt.scales),
+            "height": opt.height,
+            "width": opt.width,
+            "T": max(opt.T, 1),
+            "batch_size": opt.batch_size,
+            "min_depth": opt.min_depth,
+            "max_depth": opt.max_depth,
+            "no_ssim": opt.no_ssim,
+            "learn_intrinsics": opt.learn_intrinsics,
+            "transform_constraint": opt.transform_constraint,
+            "transform_smoothness": opt.transform_smoothness,
+            "disparity_smoothness": opt.disparity_smoothness,
+            "position_smoothness": opt.position_smoothness,
+            "depth_reproj": opt.depth_reproj,
+            "depth_flow": opt.depth_flow,
+            "train": True,
+        }
+        self._step_fn = self._build_step(dash_phase2=False)
+        self._setup_data()
+        self._setup_logging()
+        self.step = 1
+        self.epoch = 0
+
+    # ----------------------------------------------------------- setup
+
+    def _load_pretrained(self):
+        opt = self.opt
+        name = {
+            "endodav": f"video_depth_anything_{opt.encoder}.pth",
+            "endodac": {"vits": "depth_anything_v2_vits.pth", "vitb": "depth_anything_v2_vitb.pth"}.get(
+                opt.encoder, "depth_anything_v2_vits.pth"
+            ),
+        }[opt.model_type]
+        path = os.path.join(opt.pretrained_path, name)
+        if not os.path.exists(path):
+            print(f"[trainer] pretrained weights not found at {path}; training from init")
+            return
+        sd = ckpt.load_torch_file(path)
+        self.variables["depth_model"], report = ckpt.torch_to_flax(sd, opt.model_type, self.variables["depth_model"])
+        print(f"[trainer] loaded {len(report['used'])} tensors from {path}; "
+              f"{len(report['ignored'])} ignored, {len(report['mismatched'])} mismatched")
+
+    def _setup_data(self):
+        opt = self.opt
+        split = "scared_video" if opt.model_type == "endodav" else "endovis"
+        fpath = os.path.join(SPLITS_DIR, split, "{}_files.txt")
+        if not os.path.exists(fpath.format("train")) or not os.path.isdir(opt.data_path):
+            print(f"[trainer] split files or data_path missing; data loaders not created")
+            self.train_loader = self.val_loader = self.test_sequences = None
+            return
+        train_files = readlines(fpath.format("train"))
+        val_files = readlines(fpath.format("val"))
+        test_files = readlines(os.path.join(SPLITS_DIR, "scared_video", "val_files.txt"))
+        self.train_dataset = ScaredVideoClips(
+            opt.data_path, train_files, opt.height, opt.width, tuple(opt.frame_ids),
+            4, is_train=True, T=opt.T, frame_max_interval=opt.frame_max_interval,
+        )
+        self.train_loader = Loader(self.train_dataset, opt.batch_size, shuffle=True)
+        val_dataset = ScaredVideoClips(
+            opt.data_path, val_files, opt.height, opt.width, tuple(opt.frame_ids), 4,
+            is_train=False, T=opt.T,
+        )
+        self.val_loader = Loader(val_dataset, opt.batch_size, shuffle=False)
+        self.val_iter = iter(self.val_loader)
+        self.test_sequences = ScaredVideos(opt.data_path, test_files)
+        self.num_total_steps = len(self.train_dataset) // opt.batch_size * opt.num_epochs
+
+    def _setup_logging(self):
+        self.writers = {}
+        try:
+            from tensorboardX import SummaryWriter
+
+            for mode in ("train", "val"):
+                self.writers[mode] = SummaryWriter(os.path.join(self.log_path, mode))
+        except Exception:
+            pass
+        self.save_opts()
+
+    # ------------------------------------------------------------ step
+
+    def _build_step(self, dash_phase2: bool):
+        mods = self.mods
+        sched_cfg = self.sched_cfg
+        loss_cfg = self.loss_cfg
+        scales = loss_cfg["scales"]
+        hw = (loss_cfg["height"], loss_cfg["width"])
+        pos_smooth = loss_cfg["position_smoothness"]
+        use_ssim = not loss_cfg["no_ssim"]
+        groups = self.groups
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step_fn(variables, opt_state, opt_state_0, batch, step, lr, lr0):
+            gates = O.schedule_gates(step, sched_cfg, dash_phase2)
+            main_params = {k: variables[k]["params"] for k in MAIN_COMPONENTS}
+            pos_params = {k: variables[k]["params"] for k in POSITION_COMPONENTS}
+
+            # ---- phase 0: position nets (trainer:419-424)
+            def loss0(pp):
+                v = dict(variables)
+                v["position_encoder"] = {
+                    "params": pp["position_encoder"],
+                    "batch_stats": variables["position_encoder"]["batch_stats"],
+                }
+                v["position"] = {"params": pp["position"]}
+                outputs, stats = L.forward_flow_nets(
+                    mods, v, batch, scales, hw, train_position=True, train_transform=False
+                )
+                loss = L.position_phase_loss(outputs, batch, scales, pos_smooth, use_ssim)
+                return loss, stats
+
+            (loss_0, stats0), grads0 = jax.value_and_grad(loss0, has_aux=True)(pos_params)
+            pos_params, opt_state_0 = O.gated_adam_update(grads0, opt_state_0, pos_params, lr0)
+            variables = dict(variables)
+            variables["position_encoder"] = {
+                "params": pos_params["position_encoder"],
+                "batch_stats": stats0.get(
+                    "position_encoder", variables["position_encoder"]["batch_stats"]
+                ),
+            }
+            variables["position"] = {"params": pos_params["position"]}
+
+            # ---- main phase (trainer:426-431)
+            def loss_main(mp):
+                v = dict(variables)
+                for k in MAIN_COMPONENTS:
+                    v[k] = dict(variables[k])
+                    v[k]["params"] = mp[k]
+                loss, aux = L.main_phase(
+                    mods, v, batch, loss_cfg, temporal_weight=gates["tune_temporal"],
+                    dash_phase2=dash_phase2,
+                )
+                # tuple keys of mixed types don't sort as pytree dict keys;
+                # keep only the loggable image outputs under string keys
+                log_outputs = {
+                    "|".join(map(str, k)): val
+                    for k, val in aux["outputs"].items()
+                    if k[0] in ("disp", "registration", "refined", "occu_mask_backward")
+                }
+                aux = {"losses": aux["losses"], "batch_stats": aux["batch_stats"],
+                       "outputs": log_outputs}
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_main, has_aux=True)(main_params)
+            gate_tree = O.gates_tree(groups, gates)
+            main_params, opt_state = O.gated_adam_update(grads, opt_state, main_params, lr, gate_tree)
+            for k in MAIN_COMPONENTS:
+                variables[k] = dict(variables[k])
+                variables[k]["params"] = main_params[k]
+            for k, bs in aux["batch_stats"].items():
+                variables[k]["batch_stats"] = bs
+
+            scalars = dict(aux["losses"])
+            scalars["loss_0"] = loss_0
+            return variables, opt_state, opt_state_0, scalars
+
+        return step_fn
+
+    def _device_batch(self, batch: dict) -> dict:
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray):
+                out[k] = jax.device_put(jnp.asarray(v, jnp.float32), self.batch_shard)
+        return out
+
+    def current_lrs(self):
+        decay = 0.1 ** (max(self.epoch - 1, 0) // self.opt.scheduler_step_size)
+        return self.opt.learning_rate * decay, 1e-4 * decay
+
+    def train_one_batch(self, batch: dict) -> dict:
+        batch = self._device_batch(_flatten_bt(batch))
+        lr, lr0 = self.current_lrs()
+        self.variables, self.opt_state, self.opt_state_0, scalars = self._step_fn(
+            self.variables, self.opt_state, self.opt_state_0, batch,
+            jnp.asarray(self.step), jnp.asarray(lr), jnp.asarray(lr0),
+        )
+        self.main_params = {k: self.variables[k]["params"] for k in MAIN_COMPONENTS}
+        self.pos_params = {k: self.variables[k]["params"] for k in POSITION_COMPONENTS}
+        self.step += 1
+        return scalars
+
+    # ----------------------------------------------------------- epochs
+
+    def run_epoch(self):
+        t0 = time.time()
+        for batch_idx, batch in enumerate(self.train_loader):
+            scalars = self.train_one_batch(batch)
+            if batch_idx % self.opt.log_frequency == 0:
+                loss = float(scalars["loss"])
+                dur = time.time() - t0
+                eps = (batch_idx + 1) * self.opt.batch_size / max(dur, 1e-9)
+                print(f"epoch {self.epoch:3d} | batch {batch_idx:6d} | examples/s {eps:6.1f} | loss {loss:.5f}")
+                self.log_scalars("train", scalars)
+
+    def train(self):
+        best_rmse = None
+        self.start_time = time.time()
+        for self.epoch in range(1, self.opt.num_epochs + 1):
+            self.run_epoch()
+            rmse, a1 = self.run_epoch_eval()
+            if best_rmse is None or rmse < best_rmse:
+                best_rmse = rmse
+                self.save_model(mode="epoch")
+            self.save_model(mode="last")
+
+    def run_epoch_eval(self):
+        """Full video depth eval on the val sequences (trainer:448-629)."""
+        if self.test_sequences is None:
+            return float("inf"), 0.0
+        opt = self.opt
+        model = self.mods["depth_model"]
+        variables = self.variables["depth_model"]
+
+        @jax.jit
+        def fwd(win):
+            out = model.apply(variables, win)
+            return out[("disp", 0)]
+
+        errors, errors_temp = [], []
+        for data in self.test_sequences:
+            disp = infer_video_depth(fwd, data["colors"], chunk_windows=opt.chunk_windows)
+            _, pred_depths = disp_to_depth(disp, opt.min_depth, opt.max_depth)
+            pred_depths = np.asarray(pred_depths)
+            if opt.depth_align == "scale":
+                pred_depths, _ = M.median_scaling(data["depths"], pred_depths)
+            else:
+                pred_depths, *_ = M.align_shift_and_scale(data["depths"], pred_depths)
+            prev = None
+            for pred, gt, pose, K in zip(pred_depths, data["depths"], data["poses"], data["Ks"]):
+                mask = (gt > 1e-3) & (gt < 150.0)
+                pred = np.clip(pred * opt.pred_depth_scale_factor, 1e-3, 150.0)
+                e = M.compute_errors(gt, pred, mask)
+                if not np.isnan(e).all():
+                    errors.append(e)
+                i2l = np.linalg.inv(K @ pose)
+                if prev is not None:
+                    errors_temp.append(
+                        [
+                            M.tae(prev[0], prev[1], prev[2], pred, mask, i2l) * 100.0,
+                            M.tas(prev[0], prev[1], prev[2], pred, mask, i2l),
+                        ]
+                    )
+                prev = (pred, mask, i2l)
+        mean_errors = np.array(errors).mean(0)
+        mean_temp = np.array(errors_temp).mean(0) if errors_temp else np.zeros(2)
+        names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3", "tae", "tas"]
+        vals = list(mean_errors) + list(mean_temp)
+        print("eval:", " | ".join(f"{n}={v:.4f}" for n, v in zip(names, vals)))
+        for w in self.writers.values():
+            for n, v in zip(names, vals):
+                w.add_scalar(f"de/{n}", float(v), self.epoch)
+            break
+        return float(mean_errors[2]), float(mean_errors[4])
+
+    # ------------------------------------------------------------- misc
+
+    def log_scalars(self, mode: str, scalars: dict):
+        w = self.writers.get(mode)
+        if w is None:
+            return
+        for k, v in scalars.items():
+            w.add_scalar(k, float(v), self.step)
+
+    def save_opts(self):
+        models_dir = os.path.join(self.log_path, "models")
+        os.makedirs(models_dir, exist_ok=True)
+        with open(os.path.join(models_dir, "opt.json"), "w") as f:
+            json.dump({k: v for k, v in vars(self.opt).items() if not k.startswith("_")}, f, indent=2, default=str)
+
+    def save_model(self, mode: str = "epoch"):
+        folder = os.path.join(
+            self.log_path, "models",
+            f"weights_{self.epoch}" if mode == "epoch" else "weights_last",
+        )
+        ckpt.save_components(
+            folder, self.variables,
+            metadata={"height": self.opt.height, "width": self.opt.width, "use_stereo": self.opt.use_stereo},
+        )
+        ckpt.save_pytree(os.path.join(folder, "adam.msgpack"),
+                         {"main": self.opt_state, "position": self.opt_state_0})
+
+    def load_model(self):
+        folder = os.path.expanduser(self.opt.load_weights_folder)
+        assert os.path.isdir(folder), f"Cannot find folder {folder}"
+        self.variables = ckpt.load_components(folder, self.variables, self.opt.models_to_load)
+        print(f"loaded {self.opt.models_to_load} from {folder}; Adam is freshly initialized")

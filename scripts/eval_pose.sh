@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+set -e
+SCARED_DIR=${SCARED_DIR:-/data/scared}
+model_dir=${MODEL_DIR:?set MODEL_DIR to a weights folder}
+python evaluate_pose.py --data_path "$SCARED_DIR" \
+    --load_weights_folder "$model_dir" --eval_mono
