@@ -21,6 +21,8 @@ import numpy as np
 __all__ = [
     "compute_errors",
     "abs_rel",
+    "log10",
+    "silog",
     "delta_threshold",
     "tae",
     "tas",
@@ -46,6 +48,15 @@ def abs_rel(gt, pred):
 def delta_threshold(gt, pred, exp: int = 1):
     thresh = np.maximum(gt / pred, pred / gt)
     return float((thresh < 1.25 ** exp).mean())
+
+
+def log10(gt, pred):
+    return float(np.abs(np.log10(pred) - np.log10(gt)).mean())
+
+
+def silog(gt, pred):
+    err = np.log(pred) - np.log(gt)
+    return float(100.0 * np.sqrt(np.mean(err ** 2) - np.mean(err) ** 2))
 
 
 def compute_errors(gt, pred, mask=None):

@@ -66,6 +66,25 @@ class Mlp(nn.Module):
         return x
 
 
+class SwiGLUFFN(nn.Module):
+    """SwiGLU FFN option (backbones/layers/swiglu_ffn.py:14-72) — the
+    xformers 'fused' variant is a single 2*hidden projection; XLA fuses
+    the gating elementwise into the matmuls, so one module covers both.
+    Hidden width follows DINOv2: (2*4*d/3) rounded up to a multiple of 8.
+    """
+
+    hidden_features: int
+    out_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, dash_phase2: bool = False):
+        d = (int(self.hidden_features * 2 / 3) + 7) // 8 * 8
+        w12 = nn.Dense(2 * d, dtype=self.dtype, name="w12")(x)
+        x1, x2 = jnp.split(w12, 2, axis=-1)
+        return nn.Dense(self.out_features, dtype=self.dtype, name="w3")(jax.nn.silu(x1) * x2)
+
+
 class SpatialAttention(nn.Module):
     """Fused-QKV MHSA (backbones/layers/attention.py:36-69)."""
 
@@ -157,6 +176,7 @@ class ViTBlock(nn.Module):
     lora_variant: str = "none"
     lora_rank: int = 4
     lora_alpha: float | None = None
+    ffn_layer: str = "mlp"  # mlp | swiglu (vision_transformer.py:124-129)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -165,12 +185,14 @@ class ViTBlock(nn.Module):
         x = x + LayerScale(self.dim, name="ls1")(
             SpatialAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(ln("norm1")(x))
         )
-        x = x + LayerScale(self.dim, name="ls2")(
-            Mlp(
+        if self.ffn_layer == "swiglu":
+            ffn = SwiGLUFFN(4 * self.dim, self.dim, dtype=self.dtype, name="mlp")
+        else:
+            ffn = Mlp(
                 4 * self.dim, self.dim, self.lora_variant, self.lora_rank,
                 self.lora_alpha, dtype=self.dtype, name="mlp",
-            )(ln("norm2")(x), dash_phase2)
-        )
+            )
+        x = x + LayerScale(self.dim, name="ls2")(ffn(ln("norm2")(x), dash_phase2))
         if self.use_residual_block:
             ph, pw = self.patch_hw
             ofs = 1 if self.include_cls_token else 0
@@ -199,6 +221,7 @@ class DinoViT(nn.Module):
     lora_variant: str = "none"
     lora_rank: int = 4
     lora_alpha: float | None = None
+    ffn_layer: str = "mlp"
     dtype: Any = jnp.float32
 
     def interpolated_pos_embed(self, pos_embed, ph: int, pw: int):
@@ -251,7 +274,8 @@ class DinoViT(nn.Module):
                 use_residual_block=i in self.residual_block_indexes,
                 include_cls_token=self.include_cls_token,
                 lora_variant=self.lora_variant, lora_rank=self.lora_rank,
-                lora_alpha=self.lora_alpha, dtype=self.dtype, name=f"blocks_{i}",
+                lora_alpha=self.lora_alpha, ffn_layer=self.ffn_layer,
+                dtype=self.dtype, name=f"blocks_{i}",
             )(x, dash_phase2)
             if i in take:
                 outputs.append(x)

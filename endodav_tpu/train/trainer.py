@@ -214,7 +214,7 @@ class Trainer:
         fpath = os.path.join(SPLITS_DIR, split, "{}_files.txt")
         if not os.path.exists(fpath.format("train")) or not os.path.isdir(opt.data_path):
             print(f"[trainer] split files or data_path missing; data loaders not created")
-            self.train_loader = self.val_loader = self.test_sequences = None
+            self.train_loader = self.val_loader = self.val_iter = self.test_sequences = None
             return
         train_files = readlines(fpath.format("train"))
         val_files = readlines(fpath.format("val"))
@@ -358,6 +358,40 @@ class Trainer:
                 eps = (batch_idx + 1) * self.opt.batch_size / max(dur, 1e-9)
                 print(f"epoch {self.epoch:3d} | batch {batch_idx:6d} | examples/s {eps:6.1f} | loss {loss:.5f}")
                 self.log_scalars("train", scalars)
+                self.val()
+
+    def val(self):
+        """One val minibatch with the NCC registration score
+        (trainer:973-1037); logged to the 'val' writer."""
+        if self.val_loader is None:
+            return None
+        try:
+            batch = next(self.val_iter)
+        except StopIteration:
+            self.val_iter = iter(self.val_loader)
+            batch = next(self.val_iter)
+        batch = self._device_batch(_flatten_bt(batch))
+        mods, variables = self.mods, self.variables
+        scales = self.loss_cfg["scales"]
+        hw = (self.loss_cfg["height"], self.loss_cfg["width"])
+
+        outputs, _ = L.forward_flow_nets(
+            mods, variables, batch, scales, hw, train_position=False, train_transform=False
+        )
+        score = float(L.validation_ncc(outputs, batch, scales))
+        self.log_scalars("val", {"loss": score})
+        w = self.writers.get("val")
+        if w is not None:
+            # image panels (trainer:1051-1081), first sample per scale-0 keys
+            for f_i in (-1, 1):
+                for tag, key in (
+                    ("registration", ("registration", 0, f_i)),
+                    ("refined", ("refined", 0, f_i)),
+                    ("occu_mask_backward", ("occu_mask_backward", 0, f_i)),
+                ):
+                    img = np.asarray(outputs[key][0])
+                    w.add_image(f"{tag}_{f_i}_0/0", np.moveaxis(img, -1, 0), self.step)
+        return score
 
     def train(self):
         best_rmse = None

@@ -113,7 +113,7 @@ def test_train_step_runs_and_updates_right_params(trainer):
 
     before = {
         "lora": np.asarray(flatten_dict(t.main_params["depth_model"])[
-            ("pretrained", "blocks_0", "mlp", "fc1", "lora_A")
+            ("pretrained", "blocks_0", "mlp", "fc1", "lora_B")
         ]).copy(),
         "base": np.asarray(flatten_dict(t.main_params["depth_model"])[
             ("pretrained", "blocks_0", "mlp", "fc1", "kernel")
@@ -134,8 +134,9 @@ def test_train_step_runs_and_updates_right_params(trainer):
     assert np.isfinite(float(scalars["loss_0"]))
 
     after_dm = flatten_dict(t.main_params["depth_model"])
-    # warm-up: LoRA A trains
-    assert not np.allclose(before["lora"], np.asarray(after_dm[("pretrained", "blocks_0", "mlp", "fc1", "lora_A")]))
+    # warm-up: LoRA B trains (A's grad is zero at init since B is zero-init,
+    # exactly as in torch LoRA)
+    assert not np.allclose(before["lora"], np.asarray(after_dm[("pretrained", "blocks_0", "mlp", "fc1", "lora_B")]))
     # frozen ViT base does not
     np.testing.assert_array_equal(before["base"], np.asarray(after_dm[("pretrained", "blocks_0", "mlp", "fc1", "kernel")]))
     # conv_depth heads train
