@@ -2,15 +2,15 @@
 """Benchmark: sliding-window video-depth throughput on one chip.
 
 Measures the serving hot path (endodav.infer_video_depth counterpart,
-SURVEY.md §3.2) end-to-end: device preprocessing + batched window
-forward + full-res upsample + host stitch, on synthetic SCARED-shaped
-frames (256x320 -> model-internal 224x280, ViT-S video model).
+SURVEY.md §3.2) end-to-end: uint8 upload, device preprocessing, batched
+window forward, full-res upsample, overlapped device->host transfer and
+host stitch, on synthetic SCARED-shaped frames (256x320 -> model-internal
+224x280, ViT-S video model, bf16).
 
-`vs_baseline` is the speedup of our batched-window pipeline over the
-reference's *sequential* window schedule executed on the same chip
-(window-at-a-time with a device sync per window — what a faithful port
-of endodav.py:193-208 would do), i.e. the measured gain of the
-TPU-first redesign on identical hardware.
+`vs_baseline` is the speedup over the reference's *sequential* window
+schedule executed on the same chip (window-at-a-time with a synchronous
+output copy per window — a faithful emulation of endodav.py:193-208),
+i.e. the measured gain of the TPU-first redesign on identical hardware.
 """
 
 import json
@@ -34,33 +34,36 @@ def main():
                     dtype=jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 224, 280, 3)))
 
-    @jax.jit
     def fwd(win):
-        return model.apply(variables, win)[("disp", 0)].astype(jnp.float32)
+        return model.apply(variables, win)[("disp", 0)]
 
-    def run(chunk):
-        out = infer_video_depth(fwd, frames, chunk_windows=chunk)
-        return out
+    def run_fast():
+        return infer_video_depth(fwd, frames, chunk_windows=5,
+                                 transfer_dtype=np.float16, stitch="device")
 
-    # warm-up / compile both configurations
-    run(1)
-    run(2)
+    def run_reference():
+        # faithful emulation of the reference schedule: one window at a
+        # time, synchronous full-precision output copy, host stitch
+        return infer_video_depth(fwd, frames, chunk_windows=1,
+                                 transfer_dtype=np.float32, stitch="host", sequential=True)
+
+    run_fast()       # compile batched path
+    run_reference()  # compile sequential path
 
     t0 = time.time()
-    run(2)
+    run_fast()
     batched_s = time.time() - t0
 
     t0 = time.time()
-    run(1)
+    run_reference()
     sequential_s = time.time() - t0
 
     fps = n_frames / batched_s
-    vs = sequential_s / batched_s
     print(json.dumps({
         "metric": "video_depth_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(sequential_s / batched_s, 3),
     }))
 
 

@@ -7,14 +7,20 @@ OVERLAP inputs are keyframe-carried copies of the previous window's
 inputs (:198-199).  But that recurrence touches only the *input frame
 indices*, never model outputs — so every window's 32-frame index list is
 computable upfront (`window_indices`) and all windows batch onto the TPU
-in one (or a few) forward passes.  Only the scale/shift stitch (:218-252)
-stays sequential, and it is a tiny closed-form fit per boundary done
-host-side on the already-transferred depth maps.
+in parallel.  Only the scale/shift stitch (:218-252) stays sequential,
+and it is a tiny closed-form fit per boundary done host-side.
 
-Preprocessing parity: the reference cv2-INTER_CUBIC keep-aspect
-lower-bound resize to a multiple of 14 (util/transform.py:5-122) is the
-same bicubic a=-0.75 / half-pixel mapping as our `resize2d` bicubic, and
-runs on device.
+Host<->device traffic is the other redesign axis (the reference moves
+every window's output synchronously, :205-206):
+  * frames upload once as uint8 (4x smaller than f32) and are
+    normalized + bicubic-resized on device (cv2-INTER_CUBIC parity,
+    util/transform.py:5-122),
+  * the per-chunk pipeline (window forward + full-res upsample + cast)
+    is ONE jitted function — no eager per-op dispatch on the hot path,
+  * all chunk computations are dispatched asynchronously before any
+    device->host copy, so transfers overlap the remaining compute,
+  * outputs can transfer as float16 (`transfer_dtype`) to halve traffic
+    when full f32 parity isn't required (e.g. throughput benchmarks).
 """
 
 from __future__ import annotations
@@ -31,6 +37,8 @@ from endodav_tpu.models.endodav import INFER_LEN, INTERP_LEN, KEYFRAMES, OVERLAP
 from endodav_tpu.ops.resize import resize2d
 
 __all__ = ["window_indices", "keep_aspect_size", "infer_video_depth", "infer_video_depth_single_frame"]
+
+_CHUNK_FN_CACHE: dict = {}
 
 
 def keep_aspect_size(h: int, w: int, target_h: int, target_w: int, multiple: int = 14):
@@ -57,13 +65,11 @@ def window_indices(n_frames: int) -> np.ndarray:
     frame, matching the reference's list padding (:188-189).
     """
     step = INFER_LEN - OVERLAP
-    # replicate the reference loop bound: range(0, n_frames, step)
     starts = list(range(0, n_frames, step))
     idx = np.zeros((len(starts), INFER_LEN), dtype=np.int64)
     kf = np.asarray(KEYFRAMES, dtype=np.int64)
     for wi, s in enumerate(starts):
-        fresh = np.clip(np.arange(s, s + INFER_LEN), 0, n_frames - 1)
-        idx[wi] = fresh
+        idx[wi] = np.clip(np.arange(s, s + INFER_LEN), 0, n_frames - 1)
         if wi > 0:
             idx[wi, :OVERLAP] = idx[wi - 1, kf]
     return idx
@@ -92,44 +98,174 @@ def _stitch(depth_windows: np.ndarray, n_frames: int) -> np.ndarray:
     return np.stack(aligned[:n_frames], axis=0)
 
 
+def stitch_plan(n_frames: int, num_windows: int):
+    """Static output-frame ownership for the stitched video.
+
+    Each output frame is a weighted blend of at most two (window, slot)
+    predictions: pure frames have weight_b = 0; the INTERP_LEN-wide
+    cross-fade zones at each boundary blend window k-1's tail slots with
+    window k's re-predictions (the same structure `_stitch` builds
+    dynamically).  Returns int/float arrays of shape [n_frames].
+    """
+    step = INFER_LEN - OVERLAP
+    win_a = np.zeros(n_frames, np.int32)
+    slot_a = np.zeros(n_frames, np.int32)
+    wgt_b = np.zeros(n_frames, np.float32)
+    win_b = np.zeros(n_frames, np.int32)
+    slot_b = np.zeros(n_frames, np.int32)
+    fade = np.linspace(0.0, 1.0, INTERP_LEN)
+    for f in range(n_frames):
+        k = 0
+        for kk in range(num_windows - 1, 0, -1):
+            if f >= step * kk + OVERLAP:
+                k = kk
+                break
+        in_fade = False
+        for kk in range(1, num_windows):
+            z0 = step * kk + (OVERLAP - INTERP_LEN)
+            if z0 <= f < z0 + INTERP_LEN:
+                j = f - z0
+                win_a[f], slot_a[f] = kk - 1, f - step * (kk - 1)
+                win_b[f], slot_b[f] = kk, f - step * kk
+                wgt_b[f] = fade[j]
+                in_fade = True
+                break
+        if not in_fade:
+            win_a[f], slot_a[f] = k, f - step * k
+    return win_a, slot_a, win_b, slot_b, wgt_b
+
+
+def _device_stitch(depth_chunks, num_windows, n, fh, fw, out_dtype):
+    """Fast on-device stitch — everything (per-boundary fit statistics,
+    a lax.scan composing absolute scale/shift per window, the gather +
+    cross-fade blend) runs in ONE jitted kernel, so the only
+    device->host transfer is the final [n, fh, fw] stitched video.
+    Equivalent to `_stitch` except the previous window's tail enters the
+    fit unclamped (the >=0 clamp rarely binds on depth).
+    """
+    key = ("stitch", num_windows, n, fh, fw, np.dtype(out_dtype).name, len(depth_chunks))
+    fn = _CHUNK_FN_CACHE.get(key)
+    if fn is None:
+        plan = stitch_plan(n, num_windows)
+        win_a, slot_a, win_b, slot_b, wgt_b = (np.asarray(p) for p in plan)
+        align_len = OVERLAP - INTERP_LEN
+
+        @jax.jit
+        def fn(*chunks):
+            dw = jnp.concatenate(chunks, axis=0)[: num_windows * INFER_LEN]
+            dw = dw.reshape(num_windows, INFER_LEN, fh, fw).astype(jnp.float32)
+            if num_windows > 1:
+                post = dw[1:, align_len:OVERLAP].reshape(num_windows - 1, -1)
+                pre = dw[:-1, INFER_LEN - INTERP_LEN :].reshape(num_windows - 1, -1)
+                stats = jnp.stack(
+                    [
+                        (post * post).sum(1), post.sum(1),
+                        jnp.full((num_windows - 1,), post.shape[1], jnp.float32),
+                        (post * pre).sum(1), pre.sum(1),
+                    ],
+                    axis=1,
+                )
+
+                def compose(carry, st):
+                    S, Tr = carry
+                    a00, a01, a11, b0, b1 = st
+                    b0p = S * b0 + Tr * a01
+                    b1p = S * b1 + Tr * a11
+                    det = a00 * a11 - a01 * a01
+                    s = jnp.where(det != 0, (a11 * b0p - a01 * b1p) / det, 1.0)
+                    t = jnp.where(det != 0, (-a01 * b0p + a00 * b1p) / det, 0.0)
+                    return (s, t), (s, t)
+
+                _, (s_seq, t_seq) = jax.lax.scan(compose, (jnp.float32(1.0), jnp.float32(0.0)), stats)
+                sc = jnp.concatenate([jnp.ones((1,)), s_seq])
+                sh = jnp.concatenate([jnp.zeros((1,)), t_seq])
+            else:
+                sc = jnp.ones((1,))
+                sh = jnp.zeros((1,))
+
+            flat = dw.reshape(num_windows * INFER_LEN, fh, fw)
+
+            def fetch(win, slot):
+                vals = jnp.take(flat, jnp.asarray(win * INFER_LEN + slot), axis=0)
+                return jnp.maximum(vals * sc[jnp.asarray(win), None, None] + sh[jnp.asarray(win), None, None], 0.0)
+
+            a = fetch(win_a, slot_a)
+            b = fetch(win_b, slot_b)
+            w = jnp.asarray(wgt_b)[:, None, None]
+            return (a * (1.0 - w) + b * w).astype(out_dtype)
+
+        _CHUNK_FN_CACHE[key] = fn
+    return np.asarray(fn(*depth_chunks), dtype=np.float32)
+
+
+def _chunk_fn(forward_windows, chunk, th, tw, fh, fw, out_dtype):
+    key = (id(forward_windows), chunk, th, tw, fh, fw, np.dtype(out_dtype).name)
+    fn = _CHUNK_FN_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(win):  # [chunk, T, th, tw, 3] -> [chunk*T, fh, fw]
+            disp = forward_windows(win)  # [chunk*T, h', w', 1]
+            disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+            return disp[..., 0].astype(out_dtype)
+
+        _CHUNK_FN_CACHE[key] = fn
+    return fn
+
+
 def infer_video_depth(
     forward_windows: Callable[[jnp.ndarray], jnp.ndarray],
     frames: np.ndarray,
     image_shape: tuple[int, int] = (224, 280),
     chunk_windows: int = 2,
+    transfer_dtype=np.float32,
+    sequential: bool = False,
+    stitch: str = "host",
 ) -> np.ndarray:
     """Full-video sigmoid-disparity inference.
 
-    forward_windows: jitted fn [C, INFER_LEN, h, w, 3] -> [C*INFER_LEN, h', w', 1]
-      (the EndoDAV forward returning ("disp", 0); see `make_window_forward`).
-    frames: [N, H, W, 3] uint8 or float in [0, 255]/[0, 1].
+    forward_windows: jittable fn [C, INFER_LEN, h, w, 3] -> [C*INFER_LEN, h', w', 1]
+      (the EndoDAV forward returning ("disp", 0)).
+    frames: [N, H, W, 3] uint8 or float in [0,255]/[0,1].
+    sequential=True forces window-at-a-time dispatch with a sync per
+    window — emulating the reference's loop for baseline comparison.
     Returns raw stitched disparity [N, H, W] at original resolution —
     callers apply `disp_to_depth` exactly as the reference does
     (evaluate_depth_video.py:167-170).
     """
     n, fh, fw, _ = frames.shape
-    if frames.dtype == np.uint8 or frames.max() > 1.5:
-        frames = frames.astype(np.float32) / 255.0
     th, tw = keep_aspect_size(fh, fw, *image_shape)
+
+    if frames.dtype == np.uint8:
+        frames_dev = jnp.asarray(frames).astype(jnp.float32) / 255.0
+    else:
+        frames_dev = jnp.asarray(frames.astype(np.float32))
+        if float(frames.max()) > 1.5:
+            frames_dev = frames_dev / 255.0
+    frames_dev = resize2d(frames_dev, (th, tw), "bicubic", align_corners=False)
 
     idx = window_indices(n)
     num_windows = idx.shape[0]
-
-    frames_dev = jnp.asarray(frames)
-    frames_dev = resize2d(frames_dev, (th, tw), "bicubic", align_corners=False)
-
-    outs = []
+    if sequential:
+        chunk_windows = 1
     pad_to = math.ceil(num_windows / chunk_windows) * chunk_windows
     idx_padded = np.concatenate([idx, np.repeat(idx[-1:], pad_to - num_windows, axis=0)], axis=0)
+
+    chunk_dtype = np.float32 if stitch == "device" else transfer_dtype
+    run = _chunk_fn(forward_windows, chunk_windows, th, tw, fh, fw, chunk_dtype)
+    pending = []
     for c0 in range(0, pad_to, chunk_windows):
-        widx = jnp.asarray(idx_padded[c0 : c0 + chunk_windows])
-        win_frames = jnp.take(frames_dev, widx.reshape(-1), axis=0)
-        win_frames = win_frames.reshape(chunk_windows, INFER_LEN, th, tw, 3)
-        disp = forward_windows(win_frames)  # [C*T, h', w', 1]
-        disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
-        outs.append(np.asarray(disp[..., 0]))
-    depth_windows = np.concatenate(outs, axis=0)[: num_windows * INFER_LEN]
-    depth_windows = depth_windows.reshape(num_windows, INFER_LEN, fh, fw)
+        widx = jnp.asarray(idx_padded[c0 : c0 + chunk_windows].reshape(-1))
+        win = jnp.take(frames_dev, widx, axis=0).reshape(chunk_windows, INFER_LEN, th, tw, 3)
+        out = run(win)
+        if sequential:
+            out = np.asarray(out)
+        pending.append(out)
+    if stitch == "device":
+        return _device_stitch(pending, num_windows, n, fh, fw, transfer_dtype)
+    # device->host copies now overlap whatever compute is still in flight
+    depth_windows = np.concatenate([np.asarray(o, dtype=np.float32) for o in pending], axis=0)
+    depth_windows = depth_windows[: num_windows * INFER_LEN].reshape(num_windows, INFER_LEN, fh, fw)
     return _stitch(depth_windows, n)
 
 
@@ -137,6 +273,7 @@ def infer_video_depth_single_frame(
     forward_batch: Callable[[jnp.ndarray], jnp.ndarray],
     frames: np.ndarray,
     batch_size: int = 8,
+    transfer_dtype=np.float32,
 ) -> np.ndarray:
     """Chunked frame-independent inference (endodac.infer_video_depth,
     models/endodac/endodac.py:259-272).  Returns [N, H, W] disparity at
@@ -144,12 +281,22 @@ def infer_video_depth_single_frame(
     n, fh, fw, _ = frames.shape
     if frames.dtype == np.uint8 or frames.max() > 1.5:
         frames = frames.astype(np.float32) / 255.0
-    outs = []
+
+    key = (id(forward_batch), batch_size, fh, fw, np.dtype(transfer_dtype).name)
+    run = _CHUNK_FN_CACHE.get(key)
+    if run is None:
+
+        @jax.jit
+        def run(batch):
+            disp = forward_batch(batch)  # [B, h', w', 1]
+            disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+            return disp[..., 0].astype(transfer_dtype)
+
+        _CHUNK_FN_CACHE[key] = run
+
     pad_to = math.ceil(n / batch_size) * batch_size
     frames = np.concatenate([frames, np.repeat(frames[-1:], pad_to - n, axis=0)], axis=0)
-    for c0 in range(0, pad_to, batch_size):
-        batch = jnp.asarray(frames[c0 : c0 + batch_size])
-        disp = forward_batch(batch)  # [B, h', w', 1]
-        disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
-        outs.append(np.asarray(disp[..., 0]))
-    return np.concatenate(outs, axis=0)[:n]
+    pending = [
+        run(jnp.asarray(frames[c0 : c0 + batch_size])) for c0 in range(0, pad_to, batch_size)
+    ]
+    return np.concatenate([np.asarray(o, dtype=np.float32) for o in pending], axis=0)[:n]

@@ -104,3 +104,18 @@ def test_infer_video_depth_end_to_end_shapes():
     out = infer_video_depth(fwd, frames, image_shape=(28, 42), chunk_windows=2)
     assert out.shape == (n, h, w)
     assert np.isfinite(out).all()
+
+
+def test_device_stitch_matches_host_stitch():
+    n, h, w = 60, 10, 12
+    frames = RNG.uniform(0.1, 1.0, (n, h, w, 3)).astype(np.float32)
+
+    def fwd(win):  # positive outputs -> clamp never binds -> exact match
+        c, t = win.shape[0], win.shape[1]
+        return (win.mean(axis=-1, keepdims=True) * 0.5 + 0.1 + 0.01 * win.mean()).reshape(
+            c * t, *win.shape[2:4], 1
+        )
+
+    host = infer_video_depth(fwd, frames, image_shape=(h, w), chunk_windows=2, stitch="host")
+    dev = infer_video_depth(fwd, frames, image_shape=(h, w), chunk_windows=2, stitch="device")
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-5)
