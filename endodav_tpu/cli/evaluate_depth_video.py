@@ -28,7 +28,10 @@ def evaluate(opt):
         model, variables = engine.build_depth_model(opt)
         forward = engine.depth_window_forward(model, variables, opt.model_type)
 
-    result = engine.evaluate_video_sequences(opt, sequences, forward)
+    save_folder = None
+    if opt.visualize_depth and opt.load_weights_folder:
+        save_folder = os.path.join(os.path.expanduser(opt.load_weights_folder), "eval", opt.eval_split)
+    result = engine.evaluate_video_sequences(opt, sequences, forward, save_folder=save_folder)
 
     vals = list(result["mean_errors"])
     temporal = result["mean_temporal"] if result["mean_temporal"] is not None else [np.nan, np.nan]

@@ -26,7 +26,10 @@ def evaluate(opt):
         model, variables = engine.build_depth_model(opt)
         forward = engine.depth_window_forward(model, variables, opt.model_type)
 
-    result = engine.evaluate_video_sequences(opt, sequences, forward, with_temporal=False)
+    save_folder = None
+    if opt.visualize_depth and opt.load_weights_folder:
+        save_folder = os.path.join(os.path.expanduser(opt.load_weights_folder), "eval", opt.eval_split)
+    result = engine.evaluate_video_sequences(opt, sequences, forward, with_temporal=False, save_folder=save_folder)
     vals = list(result["mean_errors"])
     print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, vals)))
     if result["mean_infer_ms"] is not None:

@@ -82,14 +82,14 @@ def _init_depth_variables(model, opt):
     h, w = getattr(opt, "depth_image_shape", (224, 280))
     key = jax.random.PRNGKey(0)
     if opt.model_type == "endodav":
-        return model.init(key, jnp.zeros((1, 2, h, w, 3)))
-    return model.init(key, jnp.zeros((1, h, w, 3)))
+        return jax.jit(model.init)(key, jnp.zeros((1, 2, h, w, 3)))
+    return jax.jit(model.init)(key, jnp.zeros((1, h, w, 3)))
 
 
 def load_component(opt, name, module, init_args):
     """Load a pose-stack component from load_weights_folder
     (.msgpack native or .pth torch)."""
-    variables = module.init(jax.random.PRNGKey(0), *init_args)
+    variables = jax.jit(lambda k: module.init(k, *init_args))(jax.random.PRNGKey(0))
     folder = os.path.expanduser(opt.load_weights_folder)
     native = os.path.join(folder, f"{name}.msgpack")
     torch_pth = os.path.join(folder, f"{name}.pth")
@@ -131,12 +131,15 @@ def confidence_interval_95(values):
 
 
 def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
-                             with_temporal=True, pred_depths_fn=None):
+                             with_temporal=True, pred_depths_fn=None,
+                             save_folder: str | None = None):
     """Shared video-depth benchmark loop.
 
     sequences: iterable of dicts with colors/depths[/poses/Ks]/filename
     (or depths+pred_depths in re-eval mode).  Returns a results dict with
-    per-sequence and mean metrics + timing.
+    per-sequence and mean metrics + timing.  With `--visualize_depth` and
+    a save_folder, writes vis.mp4 + per-frame depth npys per sequence
+    (trainer:486-493).
     """
     errors, errors_temp, ratios = [], [], []
     align_stats = []
@@ -152,7 +155,12 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
             if pred_depths_fn is not None:
                 disp = pred_depths_fn(data["colors"])
             elif opt.model_type == "endodav":
-                disp = infer_video_depth(forward, data["colors"], chunk_windows=opt.chunk_windows)
+                disp = infer_video_depth(
+                    forward, data["colors"],
+                    image_shape=tuple(getattr(opt, "depth_image_shape", (224, 280))),
+                    chunk_windows=opt.chunk_windows,
+                    stitch="device" if getattr(opt, "fast_stitch", False) else "host",
+                )
             else:
                 disp = infer_video_depth_single_frame(forward, data["colors"])
             infer_times.append((time.time() - t0) / len(data["colors"]) * 1000.0)
@@ -167,6 +175,19 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
         else:
             pred_depths, *stats = M.align_shift_and_scale(gt_depths, pred_depths, MIN_DEPTH, max_depth)
             align_stats.append(stats)
+
+        if getattr(opt, "visualize_depth", False) and save_folder and "colors" in data:
+            seq_dir = os.path.join(save_folder, data.get("filename", f"seq{len(per_sequence)}"))
+            depth_dir = os.path.join(seq_dir, "depth")
+            os.makedirs(depth_dir, exist_ok=True)
+            from endodav_tpu.cli.visualize import save_depth_video
+
+            try:
+                save_depth_video(data["colors"], pred_depths, os.path.join(seq_dir, "vis.mp4"))
+            except Exception as e:
+                print(f"[eval] mp4 export failed ({e}); writing npys only")
+            for i in range(pred_depths.shape[0]):
+                np.save(os.path.join(depth_dir, f"{i:06d}.npy"), pred_depths[i])
 
         seq_errors, seq_temp = [], []
         prev = None

@@ -140,6 +140,12 @@ class EndoDAVOptions:
         # inference batching knobs (TPU window parallelism)
         p.add_argument("--chunk_windows", type=int, default=2,
                        help="video-depth windows batched per forward pass")
+        p.add_argument("--depth_image_shape", nargs=2, type=int, default=[224, 280],
+                       help="model-internal (H, W); the 518px config is "
+                            "'--depth_image_shape 518 518' with keep-aspect "
+                            "lower-bound sizing (endodav.py:162-180)")
+        p.add_argument("--fast_stitch", action="store_true",
+                       help="single-kernel on-device window stitch (serving fast path)")
 
     def parse(self, args=None):
         return self.parser.parse_args(args)

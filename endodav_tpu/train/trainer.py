@@ -95,21 +95,23 @@ def init_variables(mods: dict, opt, seed: int = 314) -> dict:
     H, W, T = opt.height, opt.width, max(opt.T, 1)
     variables = {}
     img2 = jnp.zeros((1, H, W, 6))
-    with jax.default_device(jax.local_devices()[0]):
-        if opt.model_type == "endodav":
-            variables["depth_model"] = mods["depth_model"].init(keys[0], jnp.zeros((1, T, H, W, 3)))
-        else:
-            variables["depth_model"] = mods["depth_model"].init(keys[0], jnp.zeros((1, H, W, 3)))
-        variables["position_encoder"] = mods["position_encoder"].init(keys[1], img2, train=False)
-        feats = mods["position_encoder"].apply(variables["position_encoder"], img2, train=False)
-        variables["position"] = mods["position"].init(keys[2], feats)
-        variables["transform_encoder"] = mods["transform_encoder"].init(keys[3], img2, train=False)
-        variables["transform"] = mods["transform"].init(keys[4], feats)
-        variables["pose_encoder"] = mods["pose_encoder"].init(keys[5], img2, train=False)
-        variables["pose"] = mods["pose"].init(keys[6], [feats[-1]])
-        variables["intrinsics_head"] = mods["intrinsics_head"].init(
-            keys[7], jnp.zeros((1, H // 16, W // 16, 256)), W, H
-        )
+    jinit = lambda mod, **kw: jax.jit(lambda k, *a: mod.init(k, *a, **kw))
+    if opt.model_type == "endodav":
+        variables["depth_model"] = jinit(mods["depth_model"])(keys[0], jnp.zeros((1, T, H, W, 3)))
+    else:
+        variables["depth_model"] = jinit(mods["depth_model"])(keys[0], jnp.zeros((1, H, W, 3)))
+    variables["position_encoder"] = jinit(mods["position_encoder"], train=False)(keys[1], img2)
+    feats = jax.jit(lambda v, x: mods["position_encoder"].apply(v, x, train=False))(
+        variables["position_encoder"], img2
+    )
+    variables["position"] = jinit(mods["position"])(keys[2], feats)
+    variables["transform_encoder"] = jinit(mods["transform_encoder"], train=False)(keys[3], img2)
+    variables["transform"] = jinit(mods["transform"])(keys[4], feats)
+    variables["pose_encoder"] = jinit(mods["pose_encoder"], train=False)(keys[5], img2)
+    variables["pose"] = jax.jit(lambda k, f: mods["pose"].init(k, [f]))(keys[6], feats[-1])
+    variables["intrinsics_head"] = jax.jit(
+        lambda k, x: mods["intrinsics_head"].init(k, x, W, H)
+    )(keys[7], jnp.zeros((1, H // 16, W // 16, 256)))
     return variables
 
 
