@@ -16,3 +16,28 @@ device mesh rather than DataParallel.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Persist XLA compilations across processes (first compile of the
+    video model is expensive; CLI entry points are separate processes).
+    Opt out with ENDODAV_TPU_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("ENDODAV_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "endodav_tpu_jax"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()
