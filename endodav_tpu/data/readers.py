@@ -71,6 +71,11 @@ def read_sequence(data_path: str, filename: str):
 
     Returns (colors [N,H,W,3] uint8, depths [N,H,W] f32, poses [N,4,4])."""
     paths = list_frames(os.path.join(data_path, filename))
+    if not paths["left"]:
+        raise FileNotFoundError(
+            f"no frames found under {os.path.join(data_path, filename)}/data/left — "
+            "check --data_path and the split file"
+        )
     colors = np.stack([read_image(p) for p in paths["left"]], axis=0)
     depths = np.stack([read_scared_depth(p) for p in paths["depth"]], axis=0)
     poses = np.stack([read_pose_json(p) for p in paths["pose"]], axis=0)

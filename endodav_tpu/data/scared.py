@@ -139,9 +139,10 @@ class ScaredVideos:
         filename = self.filenames[index]
         if self.pred_root is not None:
             kd = os.path.join(self.data_path, filename)
-            depths = np.stack(
-                [readers.read_scared_depth(p) for p in readers.list_frames(kd)["depth"]], axis=0
-            )
+            depth_paths = readers.list_frames(kd)["depth"]
+            if not depth_paths:
+                raise FileNotFoundError(f"no GT depth found under {kd}/data/scene_points")
+            depths = np.stack([readers.read_scared_depth(p) for p in depth_paths], axis=0)
             pred_dir = os.path.join(self.pred_root, filename, "depth")
             pred_paths = sorted(glob.glob(os.path.join(pred_dir, "*.npy")))
             preds = np.stack([np.load(p).astype(np.float32) for p in pred_paths], axis=0)
