@@ -36,8 +36,9 @@ __all__ = [
     "SPLITS_DIR",
 ]
 
-SPLITS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "splits"
+SPLITS_DIR = os.environ.get(
+    "ENDODAV_TPU_SPLITS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "splits"),
 )
 MIN_DEPTH = 1e-3
 MAX_DEPTH = 150.0

@@ -46,7 +46,10 @@ from endodav_tpu.utils import checkpoint as ckpt
 
 __all__ = ["Trainer", "build_models", "init_variables"]
 
-SPLITS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "splits")
+SPLITS_DIR = os.environ.get(
+    "ENDODAV_TPU_SPLITS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "splits"),
+)
 
 MAIN_COMPONENTS = ("depth_model", "transform_encoder", "transform", "pose_encoder", "pose", "intrinsics_head")
 POSITION_COMPONENTS = ("position_encoder", "position")
@@ -351,13 +354,12 @@ class Trainer:
     # ----------------------------------------------------------- epochs
 
     def run_epoch(self):
-        t0 = time.time()
         for batch_idx, batch in enumerate(self.train_loader):
+            t0 = time.time()
             scalars = self.train_one_batch(batch)
             if batch_idx % self.opt.log_frequency == 0:
-                loss = float(scalars["loss"])
-                dur = time.time() - t0
-                eps = (batch_idx + 1) * self.opt.batch_size / max(dur, 1e-9)
+                loss = float(scalars["loss"])  # sync point; duration is honest
+                eps = self.opt.batch_size / max(time.time() - t0, 1e-9)
                 print(f"epoch {self.epoch:3d} | batch {batch_idx:6d} | examples/s {eps:6.1f} | loss {loss:.5f}")
                 self.log_scalars("train", scalars)
                 self.val()
@@ -420,39 +422,77 @@ class Trainer:
             return out[("disp", 0)]
 
         errors, errors_temp = [], []
+        pose_lines = []
         for data in self.test_sequences:
-            disp = infer_video_depth(fwd, data["colors"], chunk_windows=opt.chunk_windows)
+            disp = infer_video_depth(fwd, data["colors"],
+                image_shape=tuple(getattr(opt, "depth_image_shape", (224, 280))),
+                chunk_windows=opt.chunk_windows)
             _, pred_depths = disp_to_depth(disp, opt.min_depth, opt.max_depth)
             pred_depths = np.asarray(pred_depths)
             if opt.depth_align == "scale":
                 pred_depths, _ = M.median_scaling(data["depths"], pred_depths)
             else:
                 pred_depths, *_ = M.align_shift_and_scale(data["depths"], pred_depths)
-            prev = None
+
+            masks, clipped, i2ls = [], [], []
             for pred, gt, pose, K in zip(pred_depths, data["depths"], data["poses"], data["Ks"]):
                 mask = (gt > 1e-3) & (gt < 150.0)
                 pred = np.clip(pred * opt.pred_depth_scale_factor, 1e-3, 150.0)
                 e = M.compute_errors(gt, pred, mask)
                 if not np.isnan(e).all():
                     errors.append(e)
-                i2l = np.linalg.inv(K @ pose)
-                if prev is not None:
-                    errors_temp.append(
-                        [
-                            M.tae(prev[0], prev[1], prev[2], pred, mask, i2l) * 100.0,
-                            M.tas(prev[0], prev[1], prev[2], pred, mask, i2l),
-                        ]
-                    )
-                prev = (pred, mask, i2l)
+                masks.append(mask)
+                clipped.append(pred)
+                i2ls.append(np.linalg.inv(K @ pose))
+            # temporal metrics on device — one jit over all frame pairs
+            # (the reference loops per-pair in numpy, eval_utils.py:104-143)
+            from endodav_tpu.eval.metrics_device import temporal_metrics_sequence
+
+            tae_m, tas_m = temporal_metrics_sequence(
+                np.stack(clipped), np.stack(masks), np.stack(i2ls)
+            )
+            errors_temp.append([tae_m * 100.0, tas_m])
+
+            # pose + intrinsics eval (trainer:536-598)
+            colors = data["colors"].astype(np.float32) / 255.0
+            pairs = np.concatenate([colors[1:], colors[:-1]], axis=-1)
+            from endodav_tpu.data.pipeline import resize_frames
+            from endodav_tpu.eval.engine import evaluate_pose_pairs
+
+            pairs = resize_frames(pairs, (opt.height, opt.width))
+            gt_local = np.stack(
+                [
+                    (data["poses"][i + 1] @ np.linalg.inv(data["poses"][i])).astype(np.float32)
+                    for i in range(len(data["poses"]) - 1)
+                ]
+            )
+            pm = (
+                self.mods["pose_encoder"], self.variables["pose_encoder"],
+                self.mods["pose"], self.variables["pose"],
+                self.mods["intrinsics_head"], self.variables["intrinsics_head"],
+            )
+            pres = evaluate_pose_pairs(opt, gt_local, pairs, pose_modules=pm)
+            pose_lines.append(
+                f"{data['filename']}: ATE {pres['ate_mean']:.4f}±{pres['ate_std']:.4f} | "
+                f"RE {pres['re_mean']:.4f}±{pres['re_std']:.4f}"
+            )
         mean_errors = np.array(errors).mean(0)
         mean_temp = np.array(errors_temp).mean(0) if errors_temp else np.zeros(2)
         names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3", "tae", "tas"]
         vals = list(mean_errors) + list(mean_temp)
         print("eval:", " | ".join(f"{n}={v:.4f}" for n, v in zip(names, vals)))
+        for line in pose_lines:
+            print("  " + line)
         for w in self.writers.values():
             for n, v in zip(names, vals):
                 w.add_scalar(f"de/{n}", float(v), self.epoch)
             break
+        results_path = os.path.join(self.log_path, "models", "results.txt")
+        os.makedirs(os.path.dirname(results_path), exist_ok=True)
+        with open(results_path, "a") as f:
+            f.write(f"Epoch {self.epoch:02d}: " + " ".join(f"{v:.4f}" for v in vals) + "\n")
+            for line in pose_lines:
+                f.write("  " + line + "\n")
         return float(mean_errors[2]), float(mean_errors[4])
 
     # ------------------------------------------------------------- misc
