@@ -49,6 +49,7 @@ def evaluate(opt):
             return model.apply(variables, img)[("disp", 0)]
 
     errors, ratios = [], []
+    saved_disps = []
     import time
 
     times = []
@@ -69,6 +70,7 @@ def evaluate(opt):
         disp = np.asarray(
             resize2d(jnp.asarray(disp[None, ..., None]), gt.shape[:2], "bilinear", align_corners=True)
         )[0, ..., 0]
+        saved_disps.append(disp)
         _, pred = disp_to_depth(disp, opt.min_depth, opt.max_depth)
         pred = np.asarray(pred)
         mask = (gt > 1e-3) & (gt < max_depth)
@@ -80,6 +82,12 @@ def evaluate(opt):
             pred = pred * ratio
         pred = np.clip(pred * opt.pred_depth_scale_factor, 1e-3, max_depth)
         errors.append(M.compute_errors(gt, pred, mask))
+
+    if opt.save_pred_disps and pred_disps is None and opt.load_weights_folder:
+        # reference saves the raw disparity stack next to the weights
+        out = os.path.join(os.path.expanduser(opt.load_weights_folder), "disps_{}_split.npy".format(opt.eval_split))
+        np.save(out, np.array(saved_disps, dtype=object), allow_pickle=True)
+        print(f"saved predicted disparities to {out}")
 
     mean_errors = np.array(errors).mean(0)
     if ratios:

@@ -31,7 +31,7 @@ def evaluate(opt):
     print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, vals)))
 
     pose_results = []
-    for data in ScaredVideos(opt.data_path, filenames):
+    for data in sequences:
         colors = data["colors"].astype(np.float32) / 255.0
         pairs = np.concatenate([colors[1:], colors[:-1]], axis=-1)
         from endodav_tpu.data.pipeline import resize_frames

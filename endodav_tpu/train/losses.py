@@ -164,6 +164,8 @@ def main_phase(mods, variables, batch, cfg, temporal_weight=1.0, dash_phase2: bo
         (axisangle, translation, mid), _ = _apply(mods["pose"], variables["pose"], [pfeats[-1]])
         if cfg["learn_intrinsics"]:
             cam_K, _ = _apply(mods["intrinsics_head"], variables["intrinsics_head"], mid, W, H)
+            # 4x4 inverse needs f32 (XLA LU is f32-only; precision matters anyway)
+            cam_K = cam_K.astype(jnp.float32)
             outputs[("K", 0)] = cam_K
             outputs[("inv_K", 0)] = jnp.linalg.inv(cam_K)
         outputs[("axisangle", 0, f_i)] = axisangle

@@ -203,7 +203,9 @@ class Trainer:
             "endodac": {"vits": "depth_anything_v2_vits.pth", "vitb": "depth_anything_v2_vitb.pth"}.get(
                 opt.encoder, "depth_anything_v2_vits.pth"
             ),
-        }[opt.model_type]
+        }.get(opt.model_type)
+        if name is None:  # afsfm has no released pretrained init
+            return
         path = os.path.join(opt.pretrained_path, name)
         if not os.path.exists(path):
             print(f"[trainer] pretrained weights not found at {path}; training from init")
