@@ -40,6 +40,7 @@ class ScaredVideoClips:
         T: int = 4,
         frame_max_interval: int = 1,
         seed: int = 314,
+        device_preprocess: bool = False,
     ):
         assert tuple(frame_idxs) == (0, -1, 1), "video trainer requires frame_ids [0,-1,1]"
         self.data_path = data_path
@@ -52,6 +53,7 @@ class ScaredVideoClips:
         self.frame_max_interval = frame_max_interval
         self.random_train = False
         self.load_depth = not is_train
+        self.device_preprocess = device_preprocess
         self.rng = np.random.default_rng(seed)
 
         self.paths = {"left": [], "right": [], "depth": [], "pose": []}
@@ -88,6 +90,26 @@ class ScaredVideoClips:
         jit = pipeline.sample_color_jitter(rng) if do_aug else None
 
         inputs = {}
+        if self.device_preprocess and not self.random_train:
+            # ship only the scale-0 stack + jitter params; the pyramid,
+            # per-scale jitter and window slicing happen on device
+            # (ops/jitter.device_pyramid — exact math parity)
+            indices_all = [index + fi * int(frame_steps[fi]) for fi in range(self.T + 2)]
+            colors = self._load_colors(indices_all, do_flip)
+            inputs["frames_scale0"] = pipeline.resize_frames(colors, (self.height, self.width))
+            if jit is not None:
+                inputs["jitter_order"] = np.asarray(jit["order"], np.int32)
+                inputs["jitter_factors"] = np.asarray(
+                    [jit["brightness"], jit["contrast"], jit["saturation"], jit["hue"]], np.float32
+                )
+            else:
+                inputs["jitter_order"] = np.arange(4, dtype=np.int32)
+                inputs["jitter_factors"] = np.asarray([1.0, 1.0, 1.0, 0.0], np.float32)
+            for s in range(self.num_scales):
+                K, inv_K = pipeline.scaled_intrinsics(self.width, self.height, s)
+                inputs[("K", s)] = np.repeat(K[None], self.T, axis=0)
+                inputs[("inv_K", s)] = np.repeat(inv_K[None], self.T, axis=0)
+            return inputs
         if self.random_train:
             n = len(self.paths["left"])
             base = rng.integers(self.frame_max_interval, n - self.frame_max_interval - 1, size=self.T)

@@ -144,6 +144,9 @@ class EndoDAVOptions:
                        help="model-internal (H, W); the 518px config is "
                             "'--depth_image_shape 518 518' with keep-aspect "
                             "lower-bound sizing (endodav.py:162-180)")
+        p.add_argument("--host_preprocess", action="store_true",
+                       help="build the training pyramid + jitter on host "
+                            "(default: on device from scale-0 tensors)")
         p.add_argument("--fast_stitch", action="store_true",
                        help="single-kernel on-device window stitch (serving fast path)")
 

@@ -119,10 +119,15 @@ def init_variables(mods: dict, opt, seed: int = 314) -> dict:
 
 
 def _flatten_bt(batch: dict) -> dict:
-    """Flatten [B, T, ...] -> [B*T, ...] (trainer:406-409)."""
+    """Flatten [B, T, ...] -> [B*T, ...] (trainer:406-409).
+
+    Device-preprocess keys (frames_scale0 / jitter_*) keep their per-item
+    batch axis — the step slices windows per item on device.
+    """
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim >= 3:
+        flattenable = isinstance(k, tuple) or k == "depth_gt"
+        if flattenable and isinstance(v, np.ndarray) and v.ndim >= 3:
             out[k] = v.reshape(-1, *v.shape[2:])
         else:
             out[k] = v
@@ -229,6 +234,7 @@ class Trainer:
         self.train_dataset = ScaredVideoClips(
             opt.data_path, train_files, opt.height, opt.width, tuple(opt.frame_ids),
             4, is_train=True, T=opt.T, frame_max_interval=opt.frame_max_interval,
+            device_preprocess=not getattr(opt, "host_preprocess", False),
         )
         self.train_loader = Loader(self.train_dataset, opt.batch_size, shuffle=True)
         val_dataset = ScaredVideoClips(
@@ -263,8 +269,29 @@ class Trainer:
         use_ssim = not loss_cfg["no_ssim"]
         groups = self.groups
 
+        T = loss_cfg["T"]
+
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step_fn(variables, opt_state, opt_state_0, batch, step, lr, lr0):
+            if "frames_scale0" in batch:
+                # on-device preprocessing: pyramid + per-item jitter from
+                # the scale-0 stack (ops/jitter.py), then window slicing
+                from endodav_tpu.ops.jitter import device_pyramid
+
+                batch = dict(batch)
+                stacks = batch.pop("frames_scale0")      # [B, T+2, H, W, 3]
+                orders = batch.pop("jitter_order")       # [B, 4] int32
+                factors = batch.pop("jitter_factors")    # [B, 4]
+                colors, colors_aug = jax.vmap(
+                    lambda st, o, f: device_pyramid(st, len(scales), o, f)
+                )(stacks, orders, factors)
+                for s_i, sc in enumerate(scales):
+                    for fi in (0, -1, 1):
+                        c = colors[s_i][:, 1 + fi : T + 1 + fi]
+                        a = colors_aug[s_i][:, 1 + fi : T + 1 + fi]
+                        batch[("color", fi, sc)] = c.reshape(-1, *c.shape[2:])
+                        batch[("color_aug", fi, sc)] = a.reshape(-1, *a.shape[2:])
+
             gates = O.schedule_gates(step, sched_cfg, dash_phase2)
             main_params = {k: variables[k]["params"] for k in MAIN_COMPONENTS}
             pos_params = {k: variables[k]["params"] for k in POSITION_COMPONENTS}
@@ -334,7 +361,8 @@ class Trainer:
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                out[k] = jax.device_put(jnp.asarray(v, jnp.float32), self.batch_shard)
+                dtype = jnp.int32 if np.issubdtype(v.dtype, np.integer) else jnp.float32
+                out[k] = jax.device_put(jnp.asarray(v, dtype), self.batch_shard)
         return out
 
     def current_lrs(self):

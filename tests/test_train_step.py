@@ -208,3 +208,27 @@ def test_assign_groups_labels():
     assert dm["head"]["motion_modules_0"]["transformer_blocks_0"]["ff"]["proj_out"]["lora_A"] == "temporal_ab"
     assert dm["head"]["motion_modules_0"]["transformer_blocks_0"]["ff"]["proj_out"]["kernel"] == "frozen"
     assert g["pose"]["pose_0"]["kernel"] == "pose"
+
+
+@pytest.mark.slow
+def test_save_and_load_roundtrip(trainer):
+    import os
+
+    from flax.traverse_util import flatten_dict
+
+    from endodav_tpu.utils import checkpoint as ckpt
+
+    t = trainer
+    t.epoch = 1
+    t.save_model(mode="last")
+    folder = os.path.join(t.log_path, "models", "weights_last")
+    assert os.path.exists(os.path.join(folder, "depth_model.msgpack"))
+    assert os.path.exists(os.path.join(folder, "adam.msgpack"))
+    meta = ckpt.load_metadata(os.path.join(folder, "depth_model.msgpack"))
+    assert meta["height"] == t.opt.height and meta["width"] == t.opt.width
+
+    loaded = ckpt.load_components(folder, t.variables, names=["depth_model", "pose"])
+    for k, v in flatten_dict(loaded["depth_model"]["params"]).items():
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flatten_dict(t.variables["depth_model"]["params"])[k])
+        )
