@@ -92,6 +92,11 @@ def main():
     p.add_argument("--mode", choices=["pose", "reconstruction"], required=True)
     p.add_argument("--pred_poses", type=str, help="npz with predicted relative poses")
     p.add_argument("--gt_poses", type=str, help="npz with GT relative poses")
+    p.add_argument("--data_path", type=str, help="dataset root (reconstruction mode)")
+    p.add_argument("--pred_root", type=str, help="saved depth npys root (reconstruction mode)")
+    p.add_argument("--sequence", type=str, default=None,
+                   help="split-relative sequence dir, e.g. train/dataset5/keyframe1")
+    p.add_argument("--max_frames", type=int, default=10)
     p.add_argument("--out", type=str, required=True)
     args = p.parse_args()
     if args.mode == "pose":
@@ -99,6 +104,28 @@ def main():
         gt = np.load(args.gt_poses)["data"]
         plot_trajectories(pred, gt, args.out)
         print(f"saved trajectory plot to {args.out}")
+    else:
+        # RGBD -> point cloud per frame (visualize_reconstruction.py:50-100)
+        import glob
+
+        from endodav_tpu.data.pipeline import NORMALIZED_K
+        from endodav_tpu.data.readers import list_frames, read_image
+
+        paths = list_frames(os.path.join(args.data_path, args.sequence))
+        depth_files = sorted(glob.glob(os.path.join(args.pred_root, args.sequence, "depth", "*.npy")))
+        os.makedirs(args.out, exist_ok=True)
+        for i, (img_path, d_path) in enumerate(zip(paths["left"], depth_files)):
+            if i >= args.max_frames:
+                break
+            color = read_image(img_path)
+            depth = np.load(d_path)
+            h, w = depth.shape
+            K = NORMALIZED_K[:3, :3].copy()
+            K[0] *= w
+            K[1] *= h
+            pts, cols = depth_to_pointcloud(color, depth, K)
+            save_pointcloud(os.path.join(args.out, f"{i:06d}.ply"), pts, cols)
+        print(f"saved point clouds to {args.out}")
 
 
 if __name__ == "__main__":

@@ -96,15 +96,15 @@ class ScaredVideoClips:
             # (ops/jitter.device_pyramid — exact math parity)
             indices_all = [index + fi * int(frame_steps[fi]) for fi in range(self.T + 2)]
             colors = self._load_colors(indices_all, do_flip)
-            inputs["frames_scale0"] = pipeline.resize_frames(colors, (self.height, self.width))
+            inputs[("frames_scale0",)] = pipeline.resize_frames(colors, (self.height, self.width))
             if jit is not None:
-                inputs["jitter_order"] = np.asarray(jit["order"], np.int32)
-                inputs["jitter_factors"] = np.asarray(
+                inputs[("jitter_order",)] = np.asarray(jit["order"], np.int32)
+                inputs[("jitter_factors",)] = np.asarray(
                     [jit["brightness"], jit["contrast"], jit["saturation"], jit["hue"]], np.float32
                 )
             else:
-                inputs["jitter_order"] = np.arange(4, dtype=np.int32)
-                inputs["jitter_factors"] = np.asarray([1.0, 1.0, 1.0, 0.0], np.float32)
+                inputs[("jitter_order",)] = np.arange(4, dtype=np.int32)
+                inputs[("jitter_factors",)] = np.asarray([1.0, 1.0, 1.0, 0.0], np.float32)
             for s in range(self.num_scales):
                 K, inv_K = pipeline.scaled_intrinsics(self.width, self.height, s)
                 inputs[("K", s)] = np.repeat(K[None], self.T, axis=0)

@@ -126,7 +126,7 @@ def _flatten_bt(batch: dict) -> dict:
     """
     out = {}
     for k, v in batch.items():
-        flattenable = isinstance(k, tuple) or k == "depth_gt"
+        flattenable = (isinstance(k, tuple) and k[0] not in ("frames_scale0", "jitter_order", "jitter_factors")) or k == "depth_gt"
         if flattenable and isinstance(v, np.ndarray) and v.ndim >= 3:
             out[k] = v.reshape(-1, *v.shape[2:])
         else:
@@ -273,15 +273,15 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step_fn(variables, opt_state, opt_state_0, batch, step, lr, lr0):
-            if "frames_scale0" in batch:
+            if ("frames_scale0",) in batch:
                 # on-device preprocessing: pyramid + per-item jitter from
                 # the scale-0 stack (ops/jitter.py), then window slicing
                 from endodav_tpu.ops.jitter import device_pyramid
 
                 batch = dict(batch)
-                stacks = batch.pop("frames_scale0")      # [B, T+2, H, W, 3]
-                orders = batch.pop("jitter_order")       # [B, 4] int32
-                factors = batch.pop("jitter_factors")    # [B, 4]
+                stacks = batch.pop(("frames_scale0",))      # [B, T+2, H, W, 3]
+                orders = batch.pop(("jitter_order",))       # [B, 4] int32
+                factors = batch.pop(("jitter_factors",))    # [B, 4]
                 colors, colors_aug = jax.vmap(
                     lambda st, o, f: device_pyramid(st, len(scales), o, f)
                 )(stacks, orders, factors)

@@ -76,8 +76,8 @@ def test_dataset_device_preprocess_keys(tmp_path):
     ds = ScaredVideoClips(str(tmp_path), ["train/dataset1/keyframe1"], 32, 40,
                           is_train=True, T=2, device_preprocess=True)
     item = ds[0]
-    assert item["frames_scale0"].shape == (4, 32, 40, 3)  # T+2 frames at scale 0
-    assert item["jitter_order"].shape == (4,)
-    assert item["jitter_factors"].shape == (4,)
+    assert item[("frames_scale0",)].shape == (4, 32, 40, 3)  # T+2 frames at scale 0
+    assert item[("jitter_order",)].shape == (4,)
+    assert item[("jitter_factors",)].shape == (4,)
     assert ("color", 0, 0) not in item
     assert item[("K", 0)].shape == (2, 4, 4)
