@@ -269,11 +269,13 @@ def evaluate_pose_pairs(opt, gt_local_poses, colors_pairs, pose_modules=None):
     track = 5
     ates, res = [], []
     n = min(len(gt_local_poses), len(pred_poses))
+    gt_local = np.asarray(gt_local_poses)[:n]
+    pred_local = pred_poses[:n]
     for i in range(n):
-        local_xyzs = np.array(M.dump_xyz(pred_poses[i : i + track - 1]))
-        gt_xyzs = np.array(M.dump_xyz(gt_local_poses[i : i + track - 1]))
-        local_rs = np.array(M.dump_r(pred_poses[i : i + track - 1]))
-        gt_rs = np.array(M.dump_r(gt_local_poses[i : i + track - 1]))
+        local_xyzs = np.array(M.dump_xyz(pred_local[i : i + track - 1]))
+        gt_xyzs = np.array(M.dump_xyz(gt_local[i : i + track - 1]))
+        local_rs = np.array(M.dump_r(pred_local[i : i + track - 1]))
+        gt_rs = np.array(M.dump_r(gt_local[i : i + track - 1]))
         ates.append(M.compute_ate(gt_xyzs, local_xyzs))
         res.append(M.compute_re(local_rs, gt_rs))
     return {
