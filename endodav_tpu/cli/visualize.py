@@ -53,8 +53,9 @@ def plot_trajectories(pred_local_poses: np.ndarray, gt_local_poses: np.ndarray, 
 
     from endodav_tpu.eval.metrics import compute_pose_scale, dump_poses
 
-    gt = np.array(dump_poses(gt_local_poses))
-    pred = np.array(dump_poses(pred_local_poses))
+    n = min(len(gt_local_poses), len(pred_local_poses))
+    gt = np.array(dump_poses(gt_local_poses[:n]))
+    pred = np.array(dump_poses(pred_local_poses[:n]))
     pred = pred * compute_pose_scale(gt, pred)
     origin = np.array([[0.0], [0.0], [0.0], [1.0]])
     pts_gt = np.stack([m @ origin for m in gt])
