@@ -31,7 +31,7 @@ def export_gt_depth(data_path: str, split: str):
                             "scene_points", f"scene_points{frame_index:06d}.tiff")
         gt_depths.append(read_scared_depth(path).astype(np.float32))
     out = os.path.join(SPLITS_DIR, split, "gt_depths.npz")
-    np.savez_compressed(out, data=np.array(gt_depths, dtype=object), allow_pickle=True)
+    np.savez_compressed(out, data=np.stack(gt_depths, axis=0))
     print(f"saved {len(gt_depths)} gt depths to {out}")
 
 

@@ -104,3 +104,54 @@ def test_endodav_forward_video():
     out = m.apply(p, x)
     assert out[("disp", 0)].shape[0] == 4  # B*T
     assert out[("disp", 0)].shape[-1] == 1
+
+
+def test_temporal_attention_rope_matches_complex_math():
+    from endodav_tpu.models.motion import TemporalAttention, rope_tables, _apply_rope
+
+    dim, t = 16, 6
+    x = jnp.asarray(RNG.standard_normal((2, t, dim)).astype(np.float32))
+    cos, sin = rope_tables(dim, t)
+    got = np.asarray(_apply_rope(x, jnp.asarray(cos)[None], jnp.asarray(sin)[None]))
+
+    # reference math (motion_module/attention.py:403-429): complex rotation
+    xc = np.asarray(x).reshape(2, t, dim // 2, 2)
+    xc = xc[..., 0] + 1j * xc[..., 1]
+    freqs = 1.0 / (10000.0 ** (np.arange(0, dim, 2)[: dim // 2] / dim))
+    ang = np.outer(np.arange(t), freqs)
+    rot = np.exp(1j * ang)[None]
+    out = xc * rot
+    want = np.stack([out.real, out.imag], axis=-1).reshape(2, t, dim)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # the module's rope path runs end to end
+    attn = TemporalAttention(dim, num_heads=2, temporal_max_len=t, pos_embedding_type="rope")
+    v = attn.init(jax.random.PRNGKey(0), x)
+    y = attn.apply(v, x)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+def test_dash_phase2_flow():
+    from endodav_tpu.models import LoRADense, dash_svd_update
+
+    x = jnp.asarray(RNG.standard_normal((3, 16)).astype(np.float32))
+    m = LoRADense(8, variant="dash", r=4, lora_alpha=8.0)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y1 = m.apply(v, x, dash_phase2=False)
+
+    # phase boundary: SVD fills weight_u_top / weight_vt_top
+    new_params = dash_svd_update(v["params"], scaling=2.0)
+    v2 = {"params": new_params}
+    u = np.asarray(new_params["weight_u_top"])
+    assert np.abs(u).sum() > 0  # populated
+    # columns orthonormal
+    np.testing.assert_allclose(u.T @ u, np.eye(u.shape[1]), atol=1e-4)
+
+    # phase-2 delta is zero until lora_index trains (zeros-init)
+    y2 = m.apply(v2, x, dash_phase2=True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-5)
+
+    # a nonzero lora_index changes the output through the top directions
+    v3 = {"params": dict(new_params, lora_index=jnp.ones((8,)))}
+    y3 = m.apply(v3, x, dash_phase2=True)
+    assert not np.allclose(np.asarray(y3), np.asarray(y1))
