@@ -8,6 +8,7 @@ from .transforms import (
     transformation_from_parameters,
     translation_matrix,
 )
+from .extras import flow_match, project_raw_pixels, reduced_ransac, texture_mask
 from .losses import berhu, ncc, reprojection_loss, smooth_bright, smooth_loss, smooth_registration, ssim
 
 __all__ = [
@@ -26,4 +27,8 @@ __all__ = [
     "smooth_loss",
     "smooth_registration",
     "ssim",
+    "flow_match",
+    "project_raw_pixels",
+    "reduced_ransac",
+    "texture_mask",
 ]

@@ -132,3 +132,34 @@ def test_ncc_perfect_correlation():
     out = np.asarray(ncc(x, x))
     # perfectly correlated -> cc ~ 1 -> loss ~ -1 in interior
     assert out.mean() < -0.9
+
+
+def test_geometry_extras():
+    from endodav_tpu.geometry.extras import flow_match, project_raw_pixels, reduced_ransac, texture_mask
+    from endodav_tpu.geometry import backproject_depth
+
+    b, h, w = 2, 12, 16
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = w, h, w / 2, h / 2
+    depth = RNG.uniform(2, 8, (b, h, w)).astype(np.float32)
+    pts = backproject_depth(jnp.asarray(depth), jnp.asarray(np.linalg.pinv(K))[None].repeat(b, 0))
+    raw = project_raw_pixels(pts, jnp.asarray(K)[None].repeat(b, 0), jnp.eye(4)[None].repeat(b, 0), h, w)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    np.testing.assert_allclose(np.asarray(raw[..., 0]), np.broadcast_to(xx, (b, h, w)), atol=1e-3)
+
+    flow = RNG.standard_normal((b, h, w, 2)).astype(np.float32)
+    m = flow_match(jnp.asarray(flow))
+    np.testing.assert_allclose(np.asarray(m[..., 2] - m[..., 0]), flow[..., 1], atol=1e-6)
+
+    tm = texture_mask(jnp.asarray(flow), jnp.asarray(flow))
+    np.testing.assert_allclose(np.asarray(tm), 1.0)
+
+    # RANSAC on a pure-translation flow recovers a valid F (rank 2)
+    trans_flow = np.zeros((1, 24, 32, 2), np.float32)
+    trans_flow[..., 1] = 2.0
+    mm = np.array(flow_match(jnp.asarray(trans_flow)))
+    noise = RNG.normal(0, 0.05, mm[..., 2:].shape)
+    mm[..., 2:] += noise
+    F = reduced_ransac(mm, np.ones((1, 24, 32, 1), np.float32), check_num=500)
+    assert F.shape == (1, 3, 3)
+    assert np.linalg.matrix_rank(F[0], tol=1e-5) <= 2 or np.isfinite(F).all()
