@@ -258,13 +258,19 @@ def evaluate_pose_pairs(opt, gt_local_poses, colors_pairs, pose_modules=None):
         T = transformation_from_parameters(axisangle[:, 0, 0], translation[:, 0, 0])
         return T, K
 
+    # batch pose pairs (the reference loops one pair per forward,
+    # evaluate_pose.py:128-141); pad the tail to keep one compiled shape
+    chunk = 16
+    n_pairs = len(colors_pairs)
+    pad = (-n_pairs) % chunk
+    padded = np.concatenate([colors_pairs, np.repeat(colors_pairs[-1:], pad, axis=0)], axis=0)         if pad else colors_pairs
     pred_poses, pred_Ks = [], []
-    for i in range(len(colors_pairs)):
-        T, K = pose_fwd(jnp.asarray(colors_pairs[i : i + 1]))
-        pred_poses.append(np.asarray(T)[0])
-        pred_Ks.append(np.asarray(K)[0, :3, :3])
-    pred_poses = np.stack(pred_poses)
-    pred_Ks = np.stack(pred_Ks)
+    for c0 in range(0, len(padded), chunk):
+        T, K = pose_fwd(jnp.asarray(padded[c0 : c0 + chunk]))
+        pred_poses.append(np.asarray(T))
+        pred_Ks.append(np.asarray(K)[:, :3, :3])
+    pred_poses = np.concatenate(pred_poses)[:n_pairs]
+    pred_Ks = np.concatenate(pred_Ks)[:n_pairs]
 
     track = 5
     ates, res = [], []

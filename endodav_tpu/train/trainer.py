@@ -360,6 +360,8 @@ class Trainer:
     def _device_batch(self, batch: dict) -> dict:
         out = {}
         for k, v in batch.items():
+            if k == "depth_gt":  # never consumed by the losses; skip the transfer
+                continue
             if isinstance(v, np.ndarray):
                 dtype = jnp.int32 if np.issubdtype(v.dtype, np.integer) else jnp.float32
                 out[k] = jax.device_put(jnp.asarray(v, dtype), self.batch_shard)
