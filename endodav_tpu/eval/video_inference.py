@@ -221,6 +221,7 @@ def infer_video_depth(
     transfer_dtype=np.float32,
     sequential: bool = False,
     stitch: str = "host",
+    mesh=None,
 ) -> np.ndarray:
     """Full-video sigmoid-disparity inference.
 
@@ -229,6 +230,11 @@ def infer_video_depth(
     frames: [N, H, W, 3] uint8 or float in [0,255]/[0,1].
     sequential=True forces window-at-a-time dispatch with a sync per
     window — emulating the reference's loop for baseline comparison.
+    mesh: optional `jax.sharding.Mesh` with a 'data' axis — the window
+    chunk axis shards across it (multi-chip serving: each chip runs an
+    independent 32-frame window; chunk_windows must be a multiple of the
+    axis size).  Windows are embarrassingly parallel until the stitch
+    (SURVEY.md §5 long-context), so this is pure DP over ICI.
     Returns raw stitched disparity [N, H, W] at original resolution —
     callers apply `disp_to_depth` exactly as the reference does
     (evaluate_depth_video.py:167-170).
@@ -253,10 +259,20 @@ def infer_video_depth(
 
     chunk_dtype = np.float32 if stitch == "device" else transfer_dtype
     run = _chunk_fn(forward_windows, chunk_windows, th, tw, fh, fw, chunk_dtype)
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert chunk_windows % mesh.shape["data"] == 0, (
+            "chunk_windows must be a multiple of the mesh 'data' axis"
+        )
+        shard = NamedSharding(mesh, PartitionSpec("data"))
     pending = []
     for c0 in range(0, pad_to, chunk_windows):
         widx = jnp.asarray(idx_padded[c0 : c0 + chunk_windows].reshape(-1))
         win = jnp.take(frames_dev, widx, axis=0).reshape(chunk_windows, INFER_LEN, th, tw, 3)
+        if shard is not None:
+            win = jax.device_put(win, shard)
         out = run(win)
         if sequential:
             out = np.asarray(out)

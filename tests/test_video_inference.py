@@ -119,3 +119,23 @@ def test_device_stitch_matches_host_stitch():
     host = infer_video_depth(fwd, frames, image_shape=(h, w), chunk_windows=2, stitch="host")
     dev = infer_video_depth(fwd, frames, image_shape=(h, w), chunk_windows=2, stitch="device")
     np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-5)
+
+
+def test_multichip_window_sharding():
+    """Windows shard over a 'data' mesh; results match single-device."""
+    import jax
+    from jax.sharding import Mesh
+
+    n, h, w = 60, 10, 12
+    frames = RNG.uniform(0.1, 1.0, (n, h, w, 3)).astype(np.float32)
+
+    def fwd(win):
+        c, t = win.shape[0], win.shape[1]
+        per_window_mean = win.mean(axis=(1, 2, 3, 4))[:, None, None, None, None]
+        out = win.mean(axis=-1, keepdims=True) * 0.5 + 0.1 + 0.01 * per_window_mean
+        return out.reshape(c * t, win.shape[2], win.shape[3], 1)
+
+    single = infer_video_depth(fwd, frames, image_shape=(h, w), chunk_windows=4)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    sharded = infer_video_depth(fwd, frames, image_shape=(h, w), chunk_windows=4, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
