@@ -132,3 +132,16 @@ def test_save_load_roundtrip(tmp_path):
     loaded = ckpt.load_pytree(path, tree)
     np.testing.assert_allclose(np.asarray(loaded["a"]), np.asarray(tree["a"]))
     assert ckpt.load_metadata(path)["height"] == 256
+
+
+def test_dataparallel_module_prefix_stripped():
+    """DataParallel checkpoints prefix every key with 'module.'
+    (trainer saves wrapped models when --use_dp); converter must strip it."""
+    m = PoseDecoder()
+    feats = [jnp.zeros((1, 4, 5, 512))]
+    variables = m.init(jax.random.PRNGKey(0), feats)
+    sd, _ = _synthetic_torch_sd(variables, "decoder")
+    sd_dp = {"module." + k: v for k, v in sd.items()}
+    _, report = ckpt.torch_to_flax(sd_dp, "decoder", variables)
+    assert not report["ignored"] and not report["mismatched"]
+    assert len(report["used"]) == len(sd)
