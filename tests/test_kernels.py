@@ -50,3 +50,39 @@ def test_flash_attention_backward_matches_xla():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(gref[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(gref[1]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(gref[2]), atol=1e-4)
+
+
+@pytest.mark.parametrize("dh,h", [(8, 8), (24, 8), (64, 4)])
+def test_temporal_attention_matches_xla(dh, h):
+    from endodav_tpu.kernels import temporal_attention as ta
+
+    bstar, t = 13, 32  # non-multiple of the row block to exercise padding
+    q = jnp.asarray(RNG.standard_normal((bstar, t, h, dh)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((bstar, t, h, dh)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((bstar, t, h, dh)).astype(np.float32))
+    scale = dh ** -0.5
+    ref = _xla_attention(q, k, v, scale)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out = ta._forward(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_temporal_attention_backward_matches_xla():
+    from endodav_tpu.kernels.temporal_attention import _bwd
+
+    b, t, h, dh = 3, 8, 2, 16
+    q = jnp.asarray(RNG.standard_normal((b, t, h, dh)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((b, t, h, dh)).astype(np.float32))
+    v = jnp.asarray(RNG.standard_normal((b, t, h, dh)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v, dh ** -0.5) ** 2).sum()
+
+    gref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g = 2 * _xla_attention(q, k, v, dh ** -0.5)
+    dq, dk, dv = _bwd(dh ** -0.5, (q, k, v), g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(gref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(gref[1]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gref[2]), atol=1e-4)
