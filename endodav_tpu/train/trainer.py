@@ -193,11 +193,31 @@ class Trainer:
             "depth_flow": opt.depth_flow,
             "train": True,
         }
+        self.dash_phase2 = False
+        self.dash_warmup = 100  # DashLinear FLAG warmup (mylora/layers.py:527)
         self._step_fn = self._build_step(dash_phase2=False)
         self._setup_data()
         self._setup_logging()
         self.step = 1
         self.epoch = 0
+
+    def _maybe_dash_phase_boundary(self):
+        """Explicit two-phase Dash program (SURVEY §7 hard-part 4): at the
+        warmup boundary, SVD the frozen kernels host-side
+        (`dash_svd_update`), then recompile the step with the phase-2
+        branch enabled — instead of the reference's stateful in-forward
+        SVD counter (mylora/layers.py:553-585)."""
+        if self.opt.lora_type != "dash" or self.dash_phase2 or self.step < self.dash_warmup:
+            return
+        from endodav_tpu.models import dash_svd_update
+
+        print(f"[trainer] dash phase boundary at step {self.step}: running SVD update")
+        self.variables["depth_model"] = dict(self.variables["depth_model"])
+        self.variables["depth_model"]["params"] = dash_svd_update(
+            jax.device_get(self.variables["depth_model"]["params"])
+        )
+        self.dash_phase2 = True
+        self._step_fn = self._build_step(dash_phase2=True)
 
     # ----------------------------------------------------------- setup
 
@@ -227,6 +247,7 @@ class Trainer:
         if not os.path.exists(fpath.format("train")) or not os.path.isdir(opt.data_path):
             print(f"[trainer] split files or data_path missing; data loaders not created")
             self.train_loader = self.val_loader = self.val_iter = self.test_sequences = None
+            self.train_dataset = None
             return
         train_files = readlines(fpath.format("train"))
         val_files = readlines(fpath.format("val"))
@@ -372,6 +393,7 @@ class Trainer:
         return self.opt.learning_rate * decay, 1e-4 * decay
 
     def train_one_batch(self, batch: dict) -> dict:
+        self._maybe_dash_phase_boundary()
         batch = self._device_batch(_flatten_bt(batch))
         lr, lr0 = self.current_lrs()
         self.variables, self.opt_state, self.opt_state_0, scalars = self._step_fn(
@@ -387,6 +409,15 @@ class Trainer:
 
     def run_epoch(self):
         for batch_idx, batch in enumerate(self.train_loader):
+            # random_train alternation (trainer:412-417): sample independent
+            # frames while the pose side trains.  Falls back to the host
+            # preprocessing path for those items (device_preprocess only
+            # covers contiguous clips), which retraces the step — enable
+            # --host_preprocess alongside --random_train to avoid that.
+            if getattr(self.opt, "random_train", False) and self.train_dataset is not None:
+                tdi = self.opt.tune_depth_interval
+                tune_depth = ((self.step % (2 * tdi)) >= tdi) if tdi > 0 else True
+                self.train_dataset.random_train = not tune_depth
             t0 = time.time()
             scalars = self.train_one_batch(batch)
             if batch_idx % self.opt.log_frequency == 0:

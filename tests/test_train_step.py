@@ -232,3 +232,33 @@ def test_save_and_load_roundtrip(trainer):
         np.testing.assert_array_equal(
             np.asarray(v), np.asarray(flatten_dict(t.variables["depth_model"]["params"])[k])
         )
+
+
+def test_dash_phase_boundary_swaps_step():
+    """The dash warmup boundary runs the SVD update and recompiles the
+    step with phase 2 enabled (no full step execution needed)."""
+    import tempfile
+
+    opt = Opts()
+    opt.log_dir = tempfile.mkdtemp()
+    opt.lora_type = "dash"
+    t = Trainer(opt)
+    t.dash_warmup = 3
+    t.step = 2
+    t._maybe_dash_phase_boundary()
+    assert not t.dash_phase2
+    fn_before = t._step_fn
+    t.step = 3
+    t._maybe_dash_phase_boundary()
+    assert t.dash_phase2
+    assert t._step_fn is not fn_before
+    u = np.asarray(
+        flatten_dict(t.variables["depth_model"]["params"])[
+            ("pretrained", "blocks_0", "mlp", "fc1", "weight_u_top")
+        ]
+    )
+    assert np.abs(u).sum() > 0  # SVD populated the top directions
+    # idempotent: calling again does nothing
+    fn_after = t._step_fn
+    t._maybe_dash_phase_boundary()
+    assert t._step_fn is fn_after
