@@ -50,13 +50,17 @@ def main():
     run_fast()       # compile batched path
     run_reference()  # compile sequential path
 
-    t0 = time.time()
-    run_fast()
-    batched_s = time.time() - t0
+    def best_of(fn, n=3):
+        # the dev tunnel's transfer rate drifts; take the best of n runs
+        times = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return min(times)
 
-    t0 = time.time()
-    run_reference()
-    sequential_s = time.time() - t0
+    batched_s = best_of(run_fast)
+    sequential_s = best_of(run_reference)
 
     fps = n_frames / batched_s
     print(json.dumps({
