@@ -48,25 +48,36 @@ def evaluate(opt):
         def fwd(img):
             return model.apply(variables, img)[("disp", 0)]
 
-    errors, ratios = [], []
-    saved_disps = []
     import time
 
+    # load items once, then run the model in fixed-size batches (the
+    # reference loops one frame per forward, evaluate_depth.py:150-171)
+    items = [dataset[i] for i in range(len(dataset))]
     times = []
-    for i in range(len(dataset)):
-        item = dataset[i]
+    if pred_disps is None:
+        batch_size = 8
+        imgs = np.stack([it[("color", 0, 0)] for it in items], axis=0).astype(np.float32)
+        pad = (-len(imgs)) % batch_size
+        padded = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0) if pad else imgs
+        outs = []
+        t0 = time.time()
+        for c0 in range(0, len(padded), batch_size):
+            outs.append(fwd(jnp.asarray(padded[c0 : c0 + batch_size])))
+        model_disps = np.concatenate([np.asarray(o[..., 0]) for o in outs], axis=0)[: len(imgs)]
+        times.append((time.time() - t0) / len(imgs) * 1000)
+    else:
+        model_disps = None
+
+    errors, ratios = [], []
+    saved_disps = []
+    for i, item in enumerate(items):
         if "depth_gt" in item:
             gt = item["depth_gt"][..., 0]
         elif gt_depths is not None:
             gt = gt_depths[i]
         else:
             continue
-        if pred_disps is not None:
-            disp = pred_disps[i]
-        else:
-            t0 = time.time()
-            disp = np.asarray(fwd(jnp.asarray(item[("color", 0, 0)][None]))[0, ..., 0])
-            times.append((time.time() - t0) * 1000)
+        disp = pred_disps[i] if pred_disps is not None else model_disps[i]
         disp = np.asarray(
             resize2d(jnp.asarray(disp[None, ..., None]), gt.shape[:2], "bilinear", align_corners=True)
         )[0, ..., 0]
@@ -95,7 +106,7 @@ def evaluate(opt):
         print(f" Scaling ratios | med: {med:.3f} | std: {np.std(ratios / med):.3f}")
     print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, mean_errors)))
     if times:
-        print(f"average inference time: {np.mean(times):.2f} ms")
+        print(f"average inference time: {np.mean(times):.2f} ms/frame")
     return mean_errors
 
 
