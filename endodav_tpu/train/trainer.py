@@ -166,6 +166,16 @@ class Trainer:
         self.repl = NamedSharding(self.mesh, P())
         self.batch_shard = NamedSharding(self.mesh, P("data"))
 
+        # commit params/optimizer state to the replicated sharding NOW so
+        # the first step's outputs (committed replicated) match the inputs
+        # of every later call — otherwise jit retraces once after step 1
+        # (verified with jax_explain_cache_misses).
+        self.variables = jax.device_put(self.variables, self.repl)
+        self.opt_state = jax.device_put(self.opt_state, self.repl)
+        self.opt_state_0 = jax.device_put(self.opt_state_0, self.repl)
+        self.main_params = {k: self.variables[k]["params"] for k in MAIN_COMPONENTS}
+        self.pos_params = {k: self.variables[k]["params"] for k in POSITION_COMPONENTS}
+
         self.sched_cfg = {
             "lora_type": opt.lora_type,
             "warm_up_step": opt.warm_up_step,
