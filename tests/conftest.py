@@ -18,4 +18,9 @@ import jax  # noqa: E402
 
 if os.environ.get("ENDODAV_TPU_TESTS", "cpu") != "tpu":
     jax.config.update("jax_platforms", "cpu")
+    # keep CPU artifacts separate from remote-compiled TPU-session entries
+    # (mismatched machine features in shared entries risk SIGILL)
+    cpu_cache = os.path.join(os.path.expanduser("~"), ".cache", "endodav_tpu_jax_cpu")
+    os.makedirs(cpu_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cpu_cache)
 jax.config.update("jax_enable_x64", False)
