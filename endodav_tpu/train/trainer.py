@@ -80,7 +80,7 @@ def build_models(opt) -> dict:
             inv_sigmoid=opt.inv_sigmoid, conv_head=not opt.disable_conv_head, dtype=dtype,
         )
     num_ch = resnet_num_ch_enc(opt.num_layers)
-    return {
+    mods = {
         "depth_model": depth,
         "position_encoder": ResNetEncoder(opt.num_layers, num_input_images=2, dtype=dtype),
         "position": PositionDecoder(num_ch, tuple(opt.scales), dtype=dtype),
@@ -90,6 +90,16 @@ def build_models(opt) -> dict:
         "pose": PoseDecoder(num_frames_to_predict_for=2, dtype=dtype),
         "intrinsics_head": IntrinsicsHead(dtype=dtype),
     }
+    if getattr(opt, "predictive_mask", False):
+        # built for parity with trainer:128-137; the video loss pipeline
+        # never consumes it (same as the reference's video trainer)
+        from endodav_tpu.models.decoders import DepthDecoder
+
+        mods["predictive_mask"] = DepthDecoder(
+            num_ch, tuple(opt.scales),
+            num_output_channels=len(opt.frame_ids) - 1, dtype=dtype,
+        )
+    return mods
 
 
 def init_variables(mods: dict, opt, seed: int = 314) -> dict:
@@ -439,7 +449,12 @@ class Trainer:
 
     def val(self):
         """One val minibatch with the NCC registration score
-        (trainer:973-1037); logged to the 'val' writer."""
+        (trainer:973-1037); logged to the 'val' writer.
+
+        The reference's process_batch_val also runs the depth/pose
+        forward, but compute_losses_val only consumes the registration
+        outputs — we run just the flow nets (same logged score, less
+        wasted compute)."""
         if self.val_loader is None:
             return None
         try:
