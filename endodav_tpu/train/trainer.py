@@ -463,26 +463,47 @@ class Trainer:
             self.val_iter = iter(self.val_loader)
             batch = next(self.val_iter)
         batch = self._device_batch(_flatten_bt(batch))
-        mods, variables = self.mods, self.variables
+        mods = self.mods
         scales = self.loss_cfg["scales"]
         hw = (self.loss_cfg["height"], self.loss_cfg["width"])
 
-        outputs, _ = L.forward_flow_nets(
-            mods, variables, batch, scales, hw, train_position=False, train_transform=False
+        if not hasattr(self, "_val_fn"):
+
+            @jax.jit
+            def _val_fn(variables, batch):
+                outputs, _ = L.forward_flow_nets(
+                    mods, variables, batch, scales, hw,
+                    train_position=False, train_transform=False,
+                )
+                score = L.validation_ncc(outputs, batch, scales)
+                imgs = {
+                    "|".join(map(str, k)): v
+                    for k, v in outputs.items()
+                    if k[0] in ("registration", "refined", "occu_mask_backward") and k[1] == 0
+                }
+                return score, imgs
+
+            self._val_fn = _val_fn
+
+        score_dev, imgs = self._val_fn(
+            {k: self.variables[k] for k in ("position_encoder", "position",
+                                            "transform_encoder", "transform")},
+            batch,
         )
-        score = float(L.validation_ncc(outputs, batch, scales))
+        score = float(score_dev)
+        outputs = {tuple(k.split("|")[0:1]) + tuple(
+            int(x) if x.lstrip("-").isdigit() else x for x in k.split("|")[1:]
+        ): v for k, v in imgs.items()}
         self.log_scalars("val", {"loss": score})
         w = self.writers.get("val")
         if w is not None:
             # image panels (trainer:1051-1081), first sample per scale-0 keys
             for f_i in (-1, 1):
-                for tag, key in (
-                    ("registration", ("registration", 0, f_i)),
-                    ("refined", ("refined", 0, f_i)),
-                    ("occu_mask_backward", ("occu_mask_backward", 0, f_i)),
-                ):
-                    img = np.asarray(outputs[key][0])
-                    w.add_image(f"{tag}_{f_i}_0/0", np.moveaxis(img, -1, 0), self.step)
+                for tag in ("registration", "refined", "occu_mask_backward"):
+                    key = (tag, 0, f_i)
+                    if key in outputs:
+                        img = np.asarray(outputs[key][0])
+                        w.add_image(f"{tag}_{f_i}_0/0", np.moveaxis(img, -1, 0), self.step)
         return score
 
     def train(self):

@@ -262,3 +262,13 @@ def test_dash_phase_boundary_swaps_step():
     fn_after = t._step_fn
     t._maybe_dash_phase_boundary()
     assert t._step_fn is fn_after
+
+
+@pytest.mark.slow
+def test_val_ncc_runs(trainer):
+    t = trainer
+    batch = make_batch(t.opt)
+    t.val_loader = [batch]  # anything iterable
+    t.val_iter = iter(t.val_loader)
+    score = t.val()
+    assert score is not None and np.isfinite(score)
