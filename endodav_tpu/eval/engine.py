@@ -156,11 +156,19 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
             if pred_depths_fn is not None:
                 disp = pred_depths_fn(data["colors"])
             elif opt.model_type == "endodav":
+                mesh = None
+                spec = getattr(opt, "serve_mesh", "") or ""
+                if spec.startswith("data="):
+                    from jax.sharding import Mesh
+
+                    n = int(spec.split("=")[1])
+                    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
                 disp = infer_video_depth(
                     forward, data["colors"],
                     image_shape=tuple(getattr(opt, "depth_image_shape", (224, 280))),
                     chunk_windows=opt.chunk_windows,
                     stitch="device" if getattr(opt, "fast_stitch", False) else "host",
+                    mesh=mesh,
                 )
             else:
                 disp = infer_video_depth_single_frame(forward, data["colors"])

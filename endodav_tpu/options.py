@@ -147,6 +147,8 @@ class EndoDAVOptions:
         p.add_argument("--host_preprocess", action="store_true",
                        help="build the training pyramid + jitter on host "
                             "(default: on device from scale-0 tensors)")
+        p.add_argument("--serve_mesh", type=str, default="",
+                       help="shard video-depth window chunks over 'data=N' devices")
         p.add_argument("--fast_stitch", action="store_true",
                        help="single-kernel on-device window stitch (serving fast path)")
 

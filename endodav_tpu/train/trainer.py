@@ -533,9 +533,12 @@ class Trainer:
         errors, errors_temp = [], []
         pose_lines = []
         for data in self.test_sequences:
-            disp = infer_video_depth(fwd, data["colors"],
+            disp = infer_video_depth(
+                fwd, data["colors"],
                 image_shape=tuple(getattr(opt, "depth_image_shape", (224, 280))),
-                chunk_windows=opt.chunk_windows)
+                chunk_windows=opt.chunk_windows,
+                stitch="device" if getattr(opt, "fast_stitch", False) else "host",
+            )
             _, pred_depths = disp_to_depth(disp, opt.min_depth, opt.max_depth)
             pred_depths = np.asarray(pred_depths)
             if opt.depth_align == "scale":
