@@ -21,16 +21,25 @@ def _split_prefix(folder: str) -> str:
     return "train" if int(folder[7]) < 8 else "test"
 
 
-def export_gt_depth(data_path: str, split: str):
-    lines = readlines(os.path.join(SPLITS_DIR, split, "test_files.txt"))
+def export_gt_depth(data_path: str, split: str, useage: str = "eval"):
+    """export_gt_depth.py parity: eval packs test_files.txt ->
+    gt_depths.npz; 3d_recon packs 3d_reconstruction.txt ->
+    gt_depths_recon.npz (:34-40).  The tiff index is the split line's
+    frame_id MINUS ONE (:63 — endovis frame lines are 1-based relative
+    to the scene_points numbering)."""
+    if useage == "eval":
+        lines = readlines(os.path.join(SPLITS_DIR, split, "test_files.txt"))
+        out = os.path.join(SPLITS_DIR, split, "gt_depths.npz")
+    else:
+        lines = readlines(os.path.join(SPLITS_DIR, split, "3d_reconstruction.txt"))
+        out = os.path.join(SPLITS_DIR, split, "gt_depths_recon.npz")
     gt_depths = []
     for line in lines:
         parts = line.split()
         folder, frame_index = parts[0], int(parts[1])
         path = os.path.join(data_path, _split_prefix(folder), folder, "data",
-                            "scene_points", f"scene_points{frame_index:06d}.tiff")
+                            "scene_points", f"scene_points{frame_index - 1:06d}.tiff")
         gt_depths.append(read_scared_depth(path).astype(np.float32))
-    out = os.path.join(SPLITS_DIR, split, "gt_depths.npz")
     np.savez_compressed(out, data=np.stack(gt_depths, axis=0))
     print(f"saved {len(gt_depths)} gt depths to {out}")
 
@@ -60,10 +69,11 @@ def main():
     p.add_argument("--data_path", required=True)
     p.add_argument("--split", default="endovis")
     p.add_argument("--what", choices=["depth", "pose", "both"], default="both")
+    p.add_argument("--useage", choices=["eval", "3d_recon"], default="eval")
     p.add_argument("--sequences", nargs="*", type=int, default=[1, 2])
     args = p.parse_args()
     if args.what in ("depth", "both"):
-        export_gt_depth(args.data_path, args.split)
+        export_gt_depth(args.data_path, args.split, args.useage)
     if args.what in ("pose", "both"):
         for seq in args.sequences:
             export_gt_pose(args.data_path, args.split, seq)

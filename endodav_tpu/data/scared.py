@@ -41,6 +41,7 @@ class ScaredVideoClips:
         frame_max_interval: int = 1,
         seed: int = 314,
         device_preprocess: bool = False,
+        random_capable: bool = False,
     ):
         assert tuple(frame_idxs) == (0, -1, 1), "video trainer requires frame_ids [0,-1,1]"
         self.data_path = data_path
@@ -52,9 +53,18 @@ class ScaredVideoClips:
         self.T = T
         self.frame_max_interval = frame_max_interval
         self.random_train = False
+        # random_capable keeps ONE jit signature across the depth<->pose
+        # random_train alternation (scared_video_dataset.py:267-286): both
+        # sub-modes ship a [3T] scale-0 stack + explicit per-frame window
+        # map instead of the contiguous [T+2] stack + static slices.
+        self.random_capable = random_capable
         self.load_depth = not is_train
         self.device_preprocess = device_preprocess
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # bumped by the Loader each epoch so repeated indices resample;
+        # per-item rngs keep sampling deterministic under ANY worker count
+        # (the torch DataLoader's per-worker rngs are not)
+        self.epoch = 0
 
         self.paths = {"left": [], "right": [], "depth": [], "pose": []}
         for filename in filenames:
@@ -79,7 +89,9 @@ class ScaredVideoClips:
         return np.stack(frames, axis=0)
 
     def __getitem__(self, index: int) -> dict:
-        rng = self.rng
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, int(index), int(self.random_train)])
+        )
         index = index * self.T + int(rng.integers(0, self.T))
         if self.frame_max_interval > 1:
             frame_steps = rng.integers(1, self.frame_max_interval, size=self.T + 2)
@@ -90,13 +102,38 @@ class ScaredVideoClips:
         jit = pipeline.sample_color_jitter(rng) if do_aug else None
 
         inputs = {}
-        if self.device_preprocess and not self.random_train:
+        if self.device_preprocess:
             # ship only the scale-0 stack + jitter params; the pyramid,
             # per-scale jitter and window slicing happen on device
-            # (ops/jitter.device_pyramid — exact math parity)
-            indices_all = [index + fi * int(frame_steps[fi]) for fi in range(self.T + 2)]
-            colors = self._load_colors(indices_all, do_flip)
+            # (ops/jitter.device_pyramid — exact math parity).  The stack
+            # layout depends on random_capable (NOT on the per-step
+            # random_train flag, so the jit signature stays constant):
+            #   plain:          [T+2] contiguous + window map (1+fi..T+fi)
+            #   random_capable: [3T] frames (one triplet per slot) + map
+            if self.random_capable:
+                t = self.T
+                if self.random_train:
+                    n = len(self.paths["left"])
+                    base = rng.integers(self.frame_max_interval,
+                                        n - self.frame_max_interval - 1, size=t)
+                    steps = frame_steps[:t]
+                    stack_idx = np.concatenate([base, base - steps, base + steps])
+                else:
+                    idx_all = np.asarray(
+                        [index + fi * int(frame_steps[fi]) for fi in range(t + 2)]
+                    )
+                    stack_idx = np.concatenate(
+                        [idx_all[1 : t + 1], idx_all[0:t], idx_all[2 : t + 2]]
+                    )
+                colors = self._load_colors(stack_idx, do_flip)
+                wmap = np.stack([np.arange(t), t + np.arange(t), 2 * t + np.arange(t)])
+            else:
+                indices_all = [index + fi * int(frame_steps[fi]) for fi in range(self.T + 2)]
+                colors = self._load_colors(indices_all, do_flip)
+                base_r = np.arange(self.T)
+                wmap = np.stack([1 + base_r, base_r, 2 + base_r])
             inputs[("frames_scale0",)] = pipeline.resize_frames(colors, (self.height, self.width))
+            inputs[("frame_window_map",)] = wmap.astype(np.int32)  # rows: fi 0, -1, +1
             if jit is not None:
                 inputs[("jitter_order",)] = np.asarray(jit["order"], np.int32)
                 inputs[("jitter_factors",)] = np.asarray(

@@ -156,13 +156,9 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
             if pred_depths_fn is not None:
                 disp = pred_depths_fn(data["colors"])
             elif opt.model_type == "endodav":
-                mesh = None
-                spec = getattr(opt, "serve_mesh", "") or ""
-                if spec.startswith("data="):
-                    from jax.sharding import Mesh
+                from endodav_tpu.parallel import build_mesh
 
-                    n = int(spec.split("=")[1])
-                    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+                mesh = build_mesh(getattr(opt, "serve_mesh", "") or "", default_all=False)
                 disp = infer_video_depth(
                     forward, data["colors"],
                     image_shape=tuple(getattr(opt, "depth_image_shape", (224, 280))),

@@ -26,6 +26,7 @@ every window's output synchronously, :205-206):
 from __future__ import annotations
 
 import math
+import weakref
 from typing import Callable
 
 import jax
@@ -38,7 +39,27 @@ from endodav_tpu.ops.resize import resize2d
 
 __all__ = ["window_indices", "keep_aspect_size", "infer_video_depth", "infer_video_depth_single_frame"]
 
-_CHUNK_FN_CACHE: dict = {}
+# Stitch kernels capture no model state — keyed on shapes alone.
+_STITCH_FN_CACHE: dict = {}
+
+# Jitted chunk pipelines capture the forward closure (and through it the
+# model variables), so they are cached PER CLOSURE OBJECT, held weakly.
+# Keying on `id(fn)` would be wrong: ids are recycled after GC, which can
+# hand a freshly-built model a stale jitted fn bound to a previous
+# model's captured variables.
+_FWD_FN_CACHES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _fn_cache(fwd) -> dict:
+    """Shape-keyed jit cache owned by (and living as long as) `fwd`."""
+    try:
+        cache = _FWD_FN_CACHES.get(fwd)
+        if cache is None:
+            cache = {}
+            _FWD_FN_CACHES[fwd] = cache
+        return cache
+    except TypeError:  # non-weakref-able callable: skip cross-call caching
+        return {}
 
 
 def keep_aspect_size(h: int, w: int, target_h: int, target_w: int, multiple: int = 14):
@@ -144,7 +165,7 @@ def _device_stitch(depth_chunks, num_windows, n, fh, fw, out_dtype):
     fit unclamped (the >=0 clamp rarely binds on depth).
     """
     key = ("stitch", num_windows, n, fh, fw, np.dtype(out_dtype).name, len(depth_chunks))
-    fn = _CHUNK_FN_CACHE.get(key)
+    fn = _STITCH_FN_CACHE.get(key)
     if fn is None:
         plan = stitch_plan(n, num_windows)
         win_a, slot_a, win_b, slot_b, wgt_b = (np.asarray(p) for p in plan)
@@ -194,13 +215,14 @@ def _device_stitch(depth_chunks, num_windows, n, fh, fw, out_dtype):
             w = jnp.asarray(wgt_b)[:, None, None]
             return (a * (1.0 - w) + b * w).astype(out_dtype)
 
-        _CHUNK_FN_CACHE[key] = fn
+        _STITCH_FN_CACHE[key] = fn
     return np.asarray(fn(*depth_chunks), dtype=np.float32)
 
 
 def _chunk_fn(forward_windows, chunk, th, tw, fh, fw, out_dtype):
-    key = (id(forward_windows), chunk, th, tw, fh, fw, np.dtype(out_dtype).name)
-    fn = _CHUNK_FN_CACHE.get(key)
+    cache = _fn_cache(forward_windows)
+    key = (chunk, th, tw, fh, fw, np.dtype(out_dtype).name)
+    fn = cache.get(key)
     if fn is None:
 
         @jax.jit
@@ -209,7 +231,7 @@ def _chunk_fn(forward_windows, chunk, th, tw, fh, fw, out_dtype):
             disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
             return disp[..., 0].astype(out_dtype)
 
-        _CHUNK_FN_CACHE[key] = fn
+        cache[key] = fn
     return fn
 
 
@@ -261,12 +283,12 @@ def infer_video_depth(
     run = _chunk_fn(forward_windows, chunk_windows, th, tw, fh, fw, chunk_dtype)
     shard = None
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+        from endodav_tpu.parallel import data_sharding
 
         assert chunk_windows % mesh.shape["data"] == 0, (
             "chunk_windows must be a multiple of the mesh 'data' axis"
         )
-        shard = NamedSharding(mesh, PartitionSpec("data"))
+        shard = data_sharding(mesh)
     pending = []
     for c0 in range(0, pad_to, chunk_windows):
         widx = jnp.asarray(idx_padded[c0 : c0 + chunk_windows].reshape(-1))
@@ -298,8 +320,9 @@ def infer_video_depth_single_frame(
     if frames.dtype == np.uint8 or frames.max() > 1.5:
         frames = frames.astype(np.float32) / 255.0
 
-    key = (id(forward_batch), batch_size, fh, fw, np.dtype(transfer_dtype).name)
-    run = _CHUNK_FN_CACHE.get(key)
+    cache = _fn_cache(forward_batch)
+    key = (batch_size, fh, fw, np.dtype(transfer_dtype).name)
+    run = cache.get(key)
     if run is None:
 
         @jax.jit
@@ -308,7 +331,7 @@ def infer_video_depth_single_frame(
             disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
             return disp[..., 0].astype(transfer_dtype)
 
-        _CHUNK_FN_CACHE[key] = run
+        cache[key] = run
 
     pad_to = math.ceil(n / batch_size) * batch_size
     frames = np.concatenate([frames, np.repeat(frames[-1:], pad_to - n, axis=0)], axis=0)

@@ -1,0 +1,152 @@
+"""Fused temporal attention block — round-2 Pallas attempt.
+
+Round 1's `temporal_attention` kernel lost to XLA 8.6x at the production
+shape (PERFORMANCE.md "Kernels"): its per-cell (R,T,H,dh)->(R·H,T,dh)
+fold forced Mosaic relayouts, and an attention-only kernel has too
+little arithmetic to hide them at T=32 with tiny head dims.
+
+This file takes the opposite route: fuse the ENTIRE pre-FFN attention
+sub-block of the motion module (models/motion.py TemporalTransformerBlock
+:132-138) into one kernel —
+
+    out = x + (Attn(LN(x) + pe) @ Wo + bo)
+
+so the C x C projection GEMMs (the only MXU-friendly math in the block)
+ride in the same VMEM residency as the T=32 attention chain, and the
+[B*, T, C] activations make ONE HBM round trip instead of XLA's
+~8 materializations (LN out, q, k, v, scores, probs, attn out, proj
+out).  The per-head split is an in-kernel lane slice + unrolled head
+loop — no transposed fold.
+
+Backward recomputes through the XLA reference path via custom_vjp
+(T=32 makes recompute cheap, same strategy as kernels/flash_attention).
+
+The dispatcher in ops/attention.py only routes here when measurement
+says it wins (PERFORMANCE.md); `reference_block` below is the exact XLA
+oracle used for both correctness tests and benchmarking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_temporal_block", "reference_block"]
+
+
+def reference_block(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads: int):
+    """XLA oracle: x + Attn(LN(x)+pe) Wo + bo, per-head softmax(QK^T/sqrt(dh))V."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+    y = (y + pe).astype(x.dtype)
+    q, k, v = y @ wq, y @ wk, y @ wv
+    b, t, c = x.shape
+    dh = c // heads
+    q = q.reshape(b, t, heads, dh)
+    k = k.reshape(b, t, heads, dh)
+    v = v.reshape(b, t, heads, dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * dh ** -0.5, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    o = o.reshape(b, t, c).astype(x.dtype)
+    return x + (o @ wo + bo).astype(x.dtype)
+
+
+def _kernel(x_ref, gamma_ref, beta_ref, pe_ref, wq_ref, wk_ref, wv_ref,
+            wo_ref, bo_ref, o_ref, *, heads: int):
+    r, t, c = x_ref.shape
+    dh = c // heads
+    scale = dh ** -0.5
+
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma_ref[:] + beta_ref[:]
+    y = y + pe_ref[:]  # [T, C] broadcasts over rows
+
+    y2 = y.reshape(r * t, c).astype(x_ref.dtype)
+    q = jnp.dot(y2, wq_ref[:], preferred_element_type=jnp.float32)
+    k = jnp.dot(y2, wk_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(y2, wv_ref[:], preferred_element_type=jnp.float32)
+    q = q.reshape(r, t, c)
+    k = k.reshape(r, t, c)
+    v = v.reshape(r, t, c)
+
+    # per-head attention: lane slices, batched dot over the row axis,
+    # heads unrolled (H is 8) — no transposed (R,H) fold.
+    outs = []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [R, T, T]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))  # [R, T, dh]
+    att = jnp.concatenate(outs, axis=-1).reshape(r * t, c)
+
+    out = jnp.dot(att.astype(x_ref.dtype), wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:]
+    o_ref[:] = (x + out.reshape(r, t, c)).astype(o_ref.dtype)
+
+
+def _forward(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows):
+    bstar, t, c = x.shape
+    pad = (-bstar) % rows
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    n_blocks = (bstar + pad) // rows
+
+    xspec = pl.BlockSpec((rows, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_kernel, heads=heads),
+        out_shape=jax.ShapeDtypeStruct((bstar + pad, t, c), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n_blocks,),
+            in_specs=[xspec, vec((c,)), vec((c,)), vec((t, c)), vec((c, c)),
+                      vec((c, c)), vec((c, c)), vec((c, c)), vec((c,))],
+            out_specs=xspec,
+        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+    )(x, gamma, beta, pe, wq, wk, wv, wo, bo)
+    return out[:bstar]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_temporal_block(x, gamma, beta, pe, wq, wk, wv, wo, bo,
+                         heads: int = 8, rows: int = 32):
+    """x: [B*, T, C]; LN params gamma/beta [C]; pe [T, C]; projections
+    wq/wk/wv/wo [C, C]; bo [C].  Returns x + Attn(LN(x)+pe) Wo + bo."""
+    return _forward(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows)
+
+
+def _fwd(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows):
+    out = _forward(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows)
+    return out, (x, gamma, beta, pe, wq, wk, wv, wo, bo)
+
+
+def _bwd(heads, rows, res, g):
+    x, gamma, beta, pe, wq, wk, wv, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda *a: reference_block(*a, heads=heads), x, gamma, beta, pe,
+        wq, wk, wv, wo, bo,
+    )
+    return vjp(g)
+
+
+fused_temporal_block.defvjp(_fwd, _bwd)

@@ -207,7 +207,11 @@ class PoseCNN(nn.Module):
     def __call__(self, x):
         specs = [(16, 7, 2), (32, 5, 2), (64, 3, 2), (128, 3, 2), (256, 3, 2), (256, 3, 2), (256, 3, 2)]
         for i, (ch, k, s) in enumerate(specs):
-            x = nn.Conv(ch, (k, k), strides=(s, s), dtype=self.dtype, name=f"convs_{i}")(x)
+            # torch pads k//2 on both sides (pose_cnn.py:16-24); 'SAME'
+            # would pad asymmetrically on even extents under stride 2
+            p = k // 2
+            x = nn.Conv(ch, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+                        dtype=self.dtype, name=f"convs_{i}")(x)
             x = jax.nn.relu(x)
         x = nn.Conv(6 * (self.num_input_frames - 1), (1, 1), dtype=self.dtype, name="pose_conv")(x)
         x = x.mean(axis=(1, 2))

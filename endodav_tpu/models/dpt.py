@@ -156,8 +156,12 @@ class DPTDecoder(nn.Module):
                     name="resize_layers_1", transpose_kernel=True,
                 )(x)
             elif i == 3:
+                # torch Conv2d(k=3, s=2, padding=1) pads (1,1) on BOTH sides;
+                # flax 'SAME' would pad (0,1) on even extents and shift the
+                # taps by one pixel (caught by full-model parity tests).
                 x = nn.Conv(
-                    self.out_channels[3], (3, 3), strides=(2, 2), dtype=self.dtype, name="resize_layers_3"
+                    self.out_channels[3], (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), dtype=self.dtype, name="resize_layers_3"
                 )(x)
             maps.append(x)
 

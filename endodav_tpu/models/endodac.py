@@ -27,9 +27,14 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 ENDODAC_CONFIGS = {
-    # endodac.py:184-199
-    "vits": dict(features=64, out_channels=(48, 96, 192, 384), intermediate=(2, 5, 8, 11)),
-    "vitb": dict(features=128, out_channels=(96, 192, 384, 768), intermediate=(2, 5, 8, 11)),
+    # endodac.py:192-199.  NOTE the tap indices: endodac.forward passes the
+    # INT 4 to get_intermediate_layers (endodac.py:252), which DINOv2 reads
+    # as "the last 4 blocks" (vision_transformer.py:284) — i.e. (8,9,10,11)
+    # for both 12-block sizes.  The `intermediate_layers` table at
+    # endodac.py:184-187 is dead code; full-model parity
+    # (tests/test_fullmodel_parity.py) pins the live behaviour.
+    "vits": dict(features=64, out_channels=(48, 96, 192, 384), intermediate=(8, 9, 10, 11)),
+    "vitb": dict(features=128, out_channels=(96, 192, 384, 768), intermediate=(8, 9, 10, 11)),
 }
 
 

@@ -40,7 +40,10 @@ class _BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride), use_bias=False,
+        # torch 3x3/s2 convs pad (1,1) on both sides; flax 'SAME' pads (0,1)
+        # on even extents, shifting the taps (full-model parity tests).
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = bn("bn1")(y)
         y = jax.nn.relu(y)
@@ -64,7 +67,8 @@ class _Bottleneck(nn.Module):
         out_ch = self.features * 4
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = jax.nn.relu(bn("bn1")(y))
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride), use_bias=False,
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
         y = jax.nn.relu(bn("bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)

@@ -77,6 +77,11 @@ class EndoDAVOptions:
         p.add_argument("--use_stereo", action="store_true")
         p.add_argument("--frame_ids", nargs="+", type=int, default=[0, -1, 1])
         p.add_argument("--train_output_conv", action="store_true")
+        p.add_argument("--legacy_frozen_groups", nargs="*", type=str, default=[],
+                       help="schedule groups whose optimizer gate is forced to 0; pass "
+                            "'spatial_uv temporal_ab temporal_uv' to reproduce the "
+                            "reference's literal optimizer membership (its Adam never "
+                            "registers lora_U/V or temporal params, trainer:80)")
 
         # OPTIMIZATION
         p.add_argument("--batch_size", type=int, default=8)

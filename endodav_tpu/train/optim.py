@@ -19,8 +19,10 @@ Note: the reference additionally *never registers* lora_U/lora_V or
 temporal-LoRA params with its optimizer (it collects trainable params
 once at init, trainer:80, before any schedule flips) — so its DV-LoRA
 post-warm-up phase silently updates nothing.  We implement the schedule
-as documented/intended; set `legacy_frozen_groups` to reproduce the
-reference's literal behaviour.
+as documented/intended; pass
+``cfg["legacy_frozen_groups"] = LEGACY_FROZEN_GROUPS`` (the
+``--legacy_frozen_groups`` flag) to force those groups' gates to zero
+and reproduce the reference's literal optimizer membership.
 """
 
 from __future__ import annotations
@@ -30,7 +32,18 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["assign_groups", "schedule_gates", "init_adam", "gated_adam_update", "gates_tree"]
+__all__ = [
+    "assign_groups", "schedule_gates", "init_adam", "gated_adam_update",
+    "gates_tree", "LEGACY_FROZEN_GROUPS",
+]
+
+# Groups the reference's Adam never sees because parameters_to_train is
+# collected once at Trainer init (trainer_end_to_end_video.py:80), when
+# mark_only_part_as_trainable has left only lora_A/B + residual_/
+# conv_depth_ trainable and all motion modules frozen (endodav.py:146-148):
+# post-warm-up lora_U/V and every temporal-LoRA param stay unregistered,
+# so the set_train flag flips silently update nothing for them.
+LEGACY_FROZEN_GROUPS = ("spatial_uv", "temporal_ab", "temporal_uv")
 
 
 def assign_groups(main_params: dict) -> dict:
@@ -102,7 +115,7 @@ def schedule_gates(step, cfg: dict, dash_phase2: bool = False) -> dict:
         temporal = zero
 
     dash = one if dash_phase2 else zero
-    return {
+    gates = {
         "spatial_ab": warm * spatial * tune_depth,
         "spatial_uv": (one - warm) * spatial * tune_depth,
         "temporal_ab": warm * temporal * tune_depth,
@@ -114,6 +127,10 @@ def schedule_gates(step, cfg: dict, dash_phase2: bool = False) -> dict:
         "frozen": zero,
         "tune_temporal": temporal,
     }
+    for grp in cfg.get("legacy_frozen_groups", ()):
+        assert grp in gates, f"unknown legacy_frozen_group {grp!r}"
+        gates[grp] = zero
+    return gates
 
 
 def gates_tree(groups: dict, gate_values: dict):

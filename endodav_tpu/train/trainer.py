@@ -31,8 +31,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from endodav_tpu import parallel
 from endodav_tpu.data import Loader, ScaredVideoClips, ScaredVideos, readlines
 from endodav_tpu.eval import metrics as M
 from endodav_tpu.eval.video_inference import infer_video_depth
@@ -56,6 +56,26 @@ POSITION_COMPONENTS = ("position_encoder", "position")
 
 
 def build_models(opt) -> dict:
+    # pose_model_type/pose_model_input are accepted for flag parity, but in
+    # the reference VIDEO trainer only the defaults can actually run:
+    # 'shared' reads self.models["encoder"], which this trainer never
+    # creates (trainer_end_to_end_video.py:115-116); 'posecnn' builds no
+    # pose_encoder yet predict_poses (:792) and IntrinsicsHead (:125)
+    # require one; pose_model_input='all' makes predict_poses (:745)
+    # return an empty dict.  Rather than silently ignoring the flags or
+    # reproducing those crashes, reject them with the explanation.
+    # PoseCNN itself ships as endodav_tpu.models.decoders.PoseCNN.
+    if getattr(opt, "pose_model_type", "separate_resnet") != "separate_resnet":
+        raise ValueError(
+            f"pose_model_type={opt.pose_model_type!r} cannot run the video "
+            "trainer (the reference crashes before the first step on these "
+            "settings; see endodav_tpu/train/trainer.py:build_models). Use "
+            "'separate_resnet'.")
+    if getattr(opt, "pose_model_input", "pairs") != "pairs":
+        raise ValueError(
+            "pose_model_input='all' yields an empty predict_poses in the "
+            "reference video trainer (trainer_end_to_end_video.py:745); use "
+            "'pairs'.")
     dtype = jnp.bfloat16 if getattr(opt, "compute_dtype", "float32") == "bfloat16" else jnp.float32
     residual_idx = [] if opt.disable_residual_block else tuple(opt.residual_block_indexes)
     image_shape = tuple(getattr(opt, "depth_image_shape", (224, 280)))
@@ -136,7 +156,10 @@ def _flatten_bt(batch: dict) -> dict:
     """
     out = {}
     for k, v in batch.items():
-        flattenable = (isinstance(k, tuple) and k[0] not in ("frames_scale0", "jitter_order", "jitter_factors")) or k == "depth_gt"
+        flattenable = (
+            isinstance(k, tuple)
+            and k[0] not in ("frames_scale0", "frame_window_map", "jitter_order", "jitter_factors")
+        ) or k == "depth_gt"
         if flattenable and isinstance(v, np.ndarray) and v.ndim >= 3:
             out[k] = v.reshape(-1, *v.shape[2:])
         else:
@@ -167,14 +190,9 @@ class Trainer:
 
         # mesh: devices on one 'data' axis (reference DP, trainer:269-271);
         # --mesh_shape 'data=N' restricts to the first N devices
-        mesh_spec = getattr(opt, "mesh_shape", "") or ""
-        n_dev = len(jax.devices())
-        if mesh_spec.startswith("data="):
-            n_dev = min(n_dev, int(mesh_spec.split("=")[1]))
-        devs = np.array(jax.devices()[:n_dev])
-        self.mesh = Mesh(devs.reshape(-1), ("data",))
-        self.repl = NamedSharding(self.mesh, P())
-        self.batch_shard = NamedSharding(self.mesh, P("data"))
+        self.mesh = parallel.build_mesh(getattr(opt, "mesh_shape", "") or "", clamp=True)
+        self.repl = parallel.replicated(self.mesh)
+        self.batch_shard = parallel.data_sharding(self.mesh)
 
         # commit params/optimizer state to the replicated sharding NOW so
         # the first step's outputs (committed replicated) match the inputs
@@ -194,6 +212,7 @@ class Trainer:
             "tune_spatial_interval": opt.tune_spatial_interval,
             "tune_temporal_interval": opt.tune_temporal_interval,
             "train_output_conv": opt.train_output_conv,
+            "legacy_frozen_groups": tuple(getattr(opt, "legacy_frozen_groups", ()) or ()),
         }
         self.loss_cfg = {
             "scales": tuple(opt.scales),
@@ -276,8 +295,10 @@ class Trainer:
             opt.data_path, train_files, opt.height, opt.width, tuple(opt.frame_ids),
             4, is_train=True, T=opt.T, frame_max_interval=opt.frame_max_interval,
             device_preprocess=not getattr(opt, "host_preprocess", False),
+            random_capable=bool(getattr(opt, "random_train", False)),
         )
-        self.train_loader = Loader(self.train_dataset, opt.batch_size, shuffle=True)
+        self.train_loader = Loader(self.train_dataset, opt.batch_size, shuffle=True,
+                                   num_workers=max(1, getattr(opt, "num_workers", 1)))
         val_dataset = ScaredVideoClips(
             opt.data_path, val_files, opt.height, opt.width, tuple(opt.frame_ids), 4,
             is_train=False, T=opt.T,
@@ -316,20 +337,32 @@ class Trainer:
         def step_fn(variables, opt_state, opt_state_0, batch, step, lr, lr0):
             if ("frames_scale0",) in batch:
                 # on-device preprocessing: pyramid + per-item jitter from
-                # the scale-0 stack (ops/jitter.py), then window slicing
+                # the scale-0 stack (ops/jitter.py), then per-frame window
+                # gather.  The stack is [B, T+2] (contiguous clips) or
+                # [B, 3T] (random_capable — one triplet per slot, same
+                # signature for both random_train phases); the int map
+                # [B, 3, T] assigns stack rows to frame_ids (0, -1, +1).
                 from endodav_tpu.ops.jitter import device_pyramid
 
                 batch = dict(batch)
-                stacks = batch.pop(("frames_scale0",))      # [B, T+2, H, W, 3]
+                stacks = batch.pop(("frames_scale0",))      # [B, M, H, W, 3]
                 orders = batch.pop(("jitter_order",))       # [B, 4] int32
                 factors = batch.pop(("jitter_factors",))    # [B, 4]
+                if ("frame_window_map",) in batch:
+                    wmap = batch.pop(("frame_window_map",))  # [B, 3, T] int32
+                else:  # legacy contiguous layout
+                    r = jnp.arange(T)
+                    wmap = jnp.broadcast_to(
+                        jnp.stack([1 + r, r, 2 + r]), (stacks.shape[0], 3, T)
+                    )
                 colors, colors_aug = jax.vmap(
                     lambda st, o, f: device_pyramid(st, len(scales), o, f)
                 )(stacks, orders, factors)
                 for s_i, sc in enumerate(scales):
-                    for fi in (0, -1, 1):
-                        c = colors[s_i][:, 1 + fi : T + 1 + fi]
-                        a = colors_aug[s_i][:, 1 + fi : T + 1 + fi]
+                    for fi_i, fi in enumerate((0, -1, 1)):
+                        gather = jax.vmap(lambda arr, m: arr[m])
+                        c = gather(colors[s_i], wmap[:, fi_i])
+                        a = gather(colors_aug[s_i], wmap[:, fi_i])
                         batch[("color", fi, sc)] = c.reshape(-1, *c.shape[2:])
                         batch[("color_aug", fi, sc)] = a.reshape(-1, *a.shape[2:])
 
@@ -372,15 +405,27 @@ class Trainer:
                     mods, v, batch, loss_cfg, temporal_weight=gates["tune_temporal"],
                     dash_phase2=dash_phase2,
                 )
-                # tuple keys of mixed types don't sort as pytree dict keys;
-                # keep only the loggable image outputs under string keys
-                log_outputs = {
-                    "|".join(map(str, k)): val
-                    for k, val in aux["outputs"].items()
-                    if k[0] in ("disp", "registration", "refined", "occu_mask_backward")
-                }
+                # TB image panels (reference trainer:1051-1081): brightness /
+                # registration / refined / warped-color / occu at scale 0 and
+                # the disparity pyramid, first 4 samples.  String keys —
+                # tuple keys of mixed types don't sort as pytree dict keys.
+                outs = aux["outputs"]
+                imgs = {}
+                for fi in (-1, 1):
+                    for tag, k in (
+                        (f"brightness_{fi}_0", ("transform", "high", 0, fi)),
+                        (f"registration_{fi}_0", ("registration", 0, fi)),
+                        (f"refined_{fi}_0", ("refined", 0, fi)),
+                        (f"color_{fi}_0", ("color", fi, 0)),
+                        (f"occu_mask_backward_{fi}_0", ("occu_mask_backward", 0, fi)),
+                    ):
+                        if k in outs:
+                            imgs[tag] = outs[k][:4]
+                for sc in scales:
+                    if ("disp", sc) in outs:
+                        imgs[f"disp_{sc}"] = outs[("disp", sc)][:4]
                 aux = {"losses": aux["losses"], "batch_stats": aux["batch_stats"],
-                       "outputs": log_outputs}
+                       "images": imgs}
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_main, has_aux=True)(main_params)
@@ -394,7 +439,7 @@ class Trainer:
 
             scalars = dict(aux["losses"])
             scalars["loss_0"] = loss_0
-            return variables, opt_state, opt_state_0, scalars
+            return variables, opt_state, opt_state_0, scalars, aux["images"]
 
         return step_fn
 
@@ -416,7 +461,7 @@ class Trainer:
         self._maybe_dash_phase_boundary()
         batch = self._device_batch(_flatten_bt(batch))
         lr, lr0 = self.current_lrs()
-        self.variables, self.opt_state, self.opt_state_0, scalars = self._step_fn(
+        self.variables, self.opt_state, self.opt_state_0, scalars, self._last_images = self._step_fn(
             self.variables, self.opt_state, self.opt_state_0, batch,
             jnp.asarray(self.step), jnp.asarray(lr), jnp.asarray(lr0),
         )
@@ -430,10 +475,10 @@ class Trainer:
     def run_epoch(self):
         for batch_idx, batch in enumerate(self.train_loader):
             # random_train alternation (trainer:412-417): sample independent
-            # frames while the pose side trains.  Falls back to the host
-            # preprocessing path for those items (device_preprocess only
-            # covers contiguous clips), which retraces the step — enable
-            # --host_preprocess alongside --random_train to avoid that.
+            # frames while the pose side trains.  With device preprocessing
+            # the dataset runs random_capable: both phases ship the same
+            # [3T]-stack + window-map signature, so the jitted step never
+            # retraces across the alternation.
             if getattr(self.opt, "random_train", False) and self.train_dataset is not None:
                 tdi = self.opt.tune_depth_interval
                 tune_depth = ((self.step % (2 * tdi)) >= tdi) if tdi > 0 else True
@@ -445,6 +490,7 @@ class Trainer:
                 eps = self.opt.batch_size / max(time.time() - t0, 1e-9)
                 print(f"epoch {self.epoch:3d} | batch {batch_idx:6d} | examples/s {eps:6.1f} | loss {loss:.5f}")
                 self.log_scalars("train", scalars)
+                self.log_images("train", getattr(self, "_last_images", None))
                 self.val()
 
     def val(self):
@@ -615,6 +661,22 @@ class Trainer:
             return
         for k, v in scalars.items():
             w.add_scalar(k, float(v), self.step)
+
+    def log_images(self, mode: str, images: dict | None):
+        """TB image panels (reference trainer:1058-1081): up to 4 samples
+        per tag; disparities are min-max normalized like the reference's
+        `normalize_image` (utils/utils.py)."""
+        w = self.writers.get(mode)
+        if w is None or not images:
+            return
+        for tag, arr in images.items():
+            arr = np.asarray(arr, np.float32)
+            if tag.startswith("disp"):
+                lo = arr.min(axis=(1, 2, 3), keepdims=True)
+                hi = arr.max(axis=(1, 2, 3), keepdims=True)
+                arr = (arr - lo) / np.maximum(hi - lo, 1e-5)
+            for j in range(arr.shape[0]):
+                w.add_image(f"{tag}/{j}", np.moveaxis(arr[j], -1, 0), self.step)
 
     def save_opts(self):
         models_dir = os.path.join(self.log_path, "models")

