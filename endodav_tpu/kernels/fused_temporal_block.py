@@ -35,7 +35,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_temporal_block", "reference_block"]
+__all__ = ["fused_temporal_block", "reference_block", "default_rows"]
+
+
+def default_rows(c: int) -> int:
+    """Rows-per-grid-cell, from the chained-timing v5e sweep
+    (tools/bench_temporal_kernel.py): C=192 -> 16 (82 us vs ~1000 us at
+    r32/r64 — larger blocks spill), C=384 -> 16/32 within noise (r64
+    exceeds VMEM), C=64 -> r32/r64 within noise."""
+    return 16 if c >= 128 else 32
 
 
 def reference_block(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads: int):

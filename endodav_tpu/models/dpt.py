@@ -174,8 +174,8 @@ class DPTDecoder(nn.Module):
                 lora_variant=self.temporal_lora_variant, lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha, dtype=self.dtype, name=f"motion_modules_{idx}",
             )
-            layer_3 = motion(self.out_channels[2], 0)(layer_3, frames, dash_phase2)
-            layer_4 = motion(self.out_channels[3], 1)(layer_4, frames, dash_phase2)
+            layer_3 = motion(self.out_channels[2], 0)(layer_3, frames, dash_phase2, train)
+            layer_4 = motion(self.out_channels[3], 1)(layer_4, frames, dash_phase2, train)
 
         rn = lambda i, ch: nn.Conv(
             self.features, (3, 3), use_bias=False, dtype=self.dtype, name=f"layer{i}_rn"
@@ -188,10 +188,10 @@ class DPTDecoder(nn.Module):
         fuse = lambda i: FeatureFusionBlock(self.features, self.use_bn, self.dtype, name=f"refinenet{i}")
         path_4 = fuse(4)(layer_4_rn, None, layer_3_rn.shape[1:3], train)
         if self.temporal:
-            path_4 = motion(self.features, 2)(path_4, frames, dash_phase2)
+            path_4 = motion(self.features, 2)(path_4, frames, dash_phase2, train)
         path_3 = fuse(3)(path_4, layer_3_rn, layer_2_rn.shape[1:3], train)
         if self.temporal:
-            path_3 = motion(self.features, 3)(path_3, frames, dash_phase2)
+            path_3 = motion(self.features, 3)(path_3, frames, dash_phase2, train)
         path_2 = fuse(2)(path_3, layer_2_rn, layer_1_rn.shape[1:3], train)
         path_1 = fuse(1)(path_2, layer_1_rn, None, train)
 

@@ -32,6 +32,51 @@ from endodav_tpu.ops.attention import multi_head_attention
 __all__ = ["TemporalModule", "sinusoidal_time_encoding", "rope_tables"]
 
 
+def _use_fused_block(pos_embedding_type: str, dim: int) -> bool:
+    """Route the APE attention sub-block to the fused Pallas kernel on TPU.
+
+    Measured on v5e (tools/bench_temporal_kernel.py, bench_fused_e2e.py,
+    PERFORMANCE.md): the fused LN+PE+QKV+attention+out-proj+residual
+    kernel beats XLA at every vits motion shape (1.2-3.1x chained micro,
+    +13.3% whole-model at 518px).  Gated to dim<=384 — at vitl widths
+    (C=1024) the 4 C*C weight panels alone approach the VMEM budget.
+    ENDODAV_NO_FUSED=1 forces the XLA path (A/B + debugging).
+    """
+    import os
+
+    if os.environ.get("ENDODAV_NO_FUSED"):
+        return False
+    return jax.default_backend() == "tpu" and pos_embedding_type == "ape" and dim <= 384
+
+
+class _DenseParams(nn.Module):
+    """Declares exactly the param tree of ``nn.Dense`` (kernel [in,out] +
+    optional bias) but returns the raw arrays instead of computing, so the
+    fused kernel can consume them.  Checkpoint paths stay identical whether
+    the fused or the unfused branch built the tree."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    """``nn.LayerNorm``'s param tree (scale/bias), raw."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return scale, bias
+
+
 def sinusoidal_time_encoding(max_len: int, d_model: int) -> np.ndarray:
     """[max_len, d_model] sin/cos APE (motion_module.py:180-198)."""
     position = np.arange(max_len, dtype=np.float64)[:, None]
@@ -69,8 +114,26 @@ class TemporalAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # [B*, T, C]
+    def __call__(self, x, fused_ln=None):  # [B*, T, C]
         bstar, t, c = x.shape
+        if fused_ln is not None:
+            # Fused residual sub-block: returns x + Attn(LN(x)+pe) Wo + bo
+            # in one Pallas kernel (kernels/fused_temporal_block.py).  The
+            # caller passes the LayerNorm params; pe is applied inside.
+            from endodav_tpu.kernels.fused_temporal_block import (
+                default_rows, fused_temporal_block)
+
+            scale, bias = fused_ln
+            pe = jnp.asarray(sinusoidal_time_encoding(self.temporal_max_len, self.dim))[:t]
+            wq, _ = _DenseParams(self.dim, use_bias=False, name="to_q")(c)
+            wk, _ = _DenseParams(self.dim, use_bias=False, name="to_k")(c)
+            wv, _ = _DenseParams(self.dim, use_bias=False, name="to_v")(c)
+            wo, bo = _DenseParams(self.dim, use_bias=True, name="to_out")(c)
+            cast = lambda a: a.astype(self.dtype)
+            return fused_temporal_block(
+                x, scale.astype(jnp.float32), bias.astype(jnp.float32),
+                pe.astype(jnp.float32), cast(wq), cast(wk), cast(wv),
+                cast(wo), cast(bo), self.num_heads, default_rows(c))
         if self.pos_embedding_type == "ape":
             pe = jnp.asarray(sinusoidal_time_encoding(self.temporal_max_len, self.dim))
             x = x + pe[None, :t].astype(x.dtype)
@@ -128,14 +191,28 @@ class TemporalTransformerBlock(nn.Module):
     lora_alpha: float | None = None
     dtype: Any = jnp.float32
 
+    fused: bool | None = None  # None = auto (TPU + APE + inference); tests force
+
     @nn.compact
-    def __call__(self, x, dash_phase2: bool = False):  # [B*, T, C]
+    def __call__(self, x, dash_phase2: bool = False, train: bool = False):  # [B*, T, C]
+        fused = self.fused
+        if fused is None:
+            # auto-fuse only at inference: the kernel's backward recomputes
+            # the XLA oracle (custom_vjp), which costs one extra forward vs
+            # XLA autodiff reusing its own intermediates — a likely net
+            # loss inside the train step until measured otherwise.
+            fused = not train and _use_fused_block(self.pos_embedding_type, self.dim)
         for i in range(self.num_attention_blocks):
-            y = nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")(x)
-            x = x + TemporalAttention(
+            attn = TemporalAttention(
                 self.dim, self.num_heads, self.temporal_max_len,
                 self.pos_embedding_type, dtype=self.dtype, name=f"attn_{i}",
-            )(y)
+            )
+            if fused:
+                ln = _LayerNormParams(name=f"norm_{i}")(self.dim)
+                x = attn(x, fused_ln=ln)
+            else:
+                y = nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")(x)
+                x = x + attn(y)
         y = nn.LayerNorm(dtype=self.dtype, name="ff_norm")(x)
         x = x + GEGLUFeedForward(
             self.dim, lora_variant=self.lora_variant, lora_rank=self.lora_rank,
@@ -164,9 +241,10 @@ class TemporalModule(nn.Module):
     lora_rank: int = 4
     lora_alpha: float | None = None
     dtype: Any = jnp.float32
+    fused: bool | None = None  # forwarded to TemporalTransformerBlock
 
     @nn.compact
-    def __call__(self, x, frames: int, dash_phase2: bool = False):
+    def __call__(self, x, frames: int, dash_phase2: bool = False, train: bool = False):
         bt, h, w, c = x.shape
         b = bt // frames
         residual = x
@@ -182,8 +260,9 @@ class TemporalModule(nn.Module):
                 c, self.num_attention_heads, self.num_attention_blocks,
                 self.temporal_max_len, self.pos_embedding_type,
                 self.lora_variant, self.lora_rank, self.lora_alpha,
-                dtype=self.dtype, name=f"transformer_blocks_{d}",
-            )(y, dash_phase2)
+                dtype=self.dtype, fused=self.fused,
+                name=f"transformer_blocks_{d}",
+            )(y, dash_phase2, train)
         y = y.reshape(b, h * w, frames, c).swapaxes(1, 2).reshape(bt, h * w, c)
 
         proj_out_init = nn.initializers.zeros if self.zero_initialize else None

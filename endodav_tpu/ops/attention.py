@@ -52,9 +52,13 @@ def multi_head_attention(
             return flash_attention(q, k, v, scale=scale)
         except Exception:
             pass
-    # Tiny-sequence / huge-batch regime (temporal modules, T=32): XLA's
-    # batched GEMM wins — measured 959 us vs 8259 us for the Pallas
-    # kernel in kernels/temporal_attention.py at the vits layer_3 shape
-    # (the fold transposes dominate at these head dims).  The kernel is
-    # kept, tested, and available for shapes where fusion pays off.
+    # Tiny-sequence / huge-batch regime (temporal modules, T=32): an
+    # attention-only Pallas kernel loses to XLA's batched GEMM here (the
+    # (R,T,H,dh) fold relayouts dominate at tiny head dims — round-1
+    # measurement, kernels/temporal_attention.py).  The production route
+    # for this regime is the *fused block* kernel instead
+    # (kernels/fused_temporal_block.py, dispatched by models/motion.py),
+    # which fuses LN+PE+QKV+attn+out-proj+residual in one VMEM residency
+    # — measured 13% whole-model 518px speedup (PERFORMANCE.md).  This
+    # XLA path remains for RoPE and non-TPU backends.
     return _xla_attention(q, k, v, scale)

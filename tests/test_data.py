@@ -135,3 +135,46 @@ def test_loader_num_workers_deterministic():
     for x, y, z in zip(a, b, c):
         np.testing.assert_array_equal(x, y)
         np.testing.assert_array_equal(x, z)
+
+
+def test_native_decode_parity(scared_tree):
+    """C++ decode pipeline must match the PIL/cv2 path bit-exactly."""
+    from endodav_tpu import native
+
+    if not native.available():
+        pytest.skip("native decoder toolchain unavailable")
+    from endodav_tpu.data.readers import list_frames, read_image, read_scared_depth
+
+    root, filenames, _ = scared_tree
+    paths = list_frames(os.path.join(root, filenames[0]))
+    from PIL import Image
+
+    for p in paths["left"][:3]:
+        with open(p, "rb") as f, Image.open(f) as img:
+            want = np.asarray(img.convert("RGB"))
+        np.testing.assert_array_equal(native.decode_rgb(p), want)
+    import cv2
+
+    for p in paths["depth"][:3]:
+        want = cv2.imread(p, 3).astype(np.float32)[0:1024, :, 0]
+        np.testing.assert_array_equal(native.decode_tiff_f32(p, rows=1024), want)
+    batch = native.decode_rgb_batch(paths["left"], threads=4)
+    assert batch.shape[0] == len(paths["left"])
+    np.testing.assert_array_equal(batch[0], native.decode_rgb(paths["left"][0]))
+
+
+def test_native_jpeg_parity(tmp_path):
+    from endodav_tpu import native
+
+    if not native.available():
+        pytest.skip("native decoder toolchain unavailable")
+    import cv2
+
+    img = RNG.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    p = str(tmp_path / "f.jpg")
+    cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR), [cv2.IMWRITE_JPEG_QUALITY, 95])
+    got = native.decode_rgb(p)
+    want = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+    # libjpeg IDCT may differ from cv2's by +-1 LSB
+    assert got.shape == want.shape
+    assert np.mean(np.abs(got.astype(int) - want.astype(int))) < 1.0

@@ -134,3 +134,26 @@ def test_fused_temporal_block_backward_matches_xla():
     g_ker = jax.grad(loss_ker, argnums=tuple(range(9)))(*args)
     for a, b in zip(g_ref, g_ker):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3)
+
+
+def test_motion_module_fused_matches_unfused():
+    """The fused-block wiring in models/motion.py must be numerically and
+    param-tree equivalent to the unfused path (init under either branch,
+    apply under the other)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from endodav_tpu.models.motion import TemporalModule
+
+    rng = np.random.default_rng(7)
+    m_plain = TemporalModule(in_channels=64, zero_initialize=False, fused=False)
+    m_fused = TemporalModule(in_channels=64, zero_initialize=False, fused=True)
+    x = jnp.asarray(rng.standard_normal((2 * 4, 6, 8, 64)).astype(np.float32))
+    p = m_plain.init(jax.random.PRNGKey(3), x, 4)
+    with pltpu.force_tpu_interpret_mode():
+        p_f = m_fused.init(jax.random.PRNGKey(3), x, 4)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p_f)
+    want = m_plain.apply(p, x, 4)
+    with pltpu.force_tpu_interpret_mode():
+        got = m_fused.apply(p, x, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)

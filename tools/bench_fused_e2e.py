@@ -1,0 +1,69 @@
+"""Decision-grade A/B of the fused temporal block: full-model window forward.
+
+Microsecond kernel timings through the dev tunnel are unreliable (the
+same attention computation measured 17 us and 2378 us minutes apart), so
+the fused-vs-XLA routing decision is made at whole-window granularity —
+hundreds of ms per iteration, where relay overhead and caching effects
+are in the noise.  Distinct pre-staged input chunks are cycled so no two
+executions see identical buffers.
+
+Run: python tools/bench_fused_e2e.py [--config 518|224] [--iters 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(fused: bool, image_shape, chunk_windows, iters: int):
+    from endodav_tpu.models import EndoDAV
+    from endodav_tpu.models import motion as motion_mod
+
+    orig = motion_mod._use_fused_block
+    motion_mod._use_fused_block = (lambda *a: False) if not fused else orig
+    try:
+        model = EndoDAV(encoder="vits", lora_type="dvlora",
+                        residual_block_indexes=(),
+                        image_shape=image_shape, dtype=jnp.bfloat16)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, *image_shape, 3)))
+        fwd = jax.jit(lambda w: model.apply(variables, w)[("disp", 0)])
+
+        rng = np.random.default_rng(0)
+        chunks = [jnp.asarray(rng.uniform(0, 1, (chunk_windows, 32, *image_shape, 3)),
+                              jnp.bfloat16) for _ in range(3)]
+        jax.block_until_ready(fwd(chunks[0]))  # compile
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fwd(chunks[i % len(chunks)]))
+            times.append(time.perf_counter() - t0)
+        return times
+    finally:
+        motion_mod._use_fused_block = orig
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="518", choices=["518", "224"])
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+    image_shape, chunk_windows = ((518, 644), 2) if args.config == "518" else ((224, 280), 5)
+    frames = chunk_windows * 32
+
+    for fused in (False, True):
+        times = measure(fused, image_shape, chunk_windows, args.iters)
+        med = statistics.median(times)
+        print(f"fused={fused}: median {med*1e3:.1f} ms/chunk "
+              f"({frames/med:.1f} fps compute) "
+              f"all={['%.0f' % (t*1e3) for t in times]}")
+
+
+if __name__ == "__main__":
+    main()
