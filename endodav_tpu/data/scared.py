@@ -80,9 +80,18 @@ class ScaredVideoClips:
         return max(0, length // self.T)
 
     def _load_colors(self, indices, flip: bool) -> np.ndarray:
+        paths = [self.paths["left"][i] for i in indices]
+        from endodav_tpu import native
+
+        if native.available() and not any(p is None for p in paths):
+            try:
+                stack = native.decode_rgb_batch(paths, threads=2).astype(np.float32) / 255.0
+                return stack[:, :, ::-1] if flip else stack
+            except IOError:
+                pass  # mixed sizes / odd encodings: per-frame fallback
         frames = []
-        for i in indices:
-            img = readers.read_image(self.paths["left"][i]).astype(np.float32) / 255.0
+        for p in paths:
+            img = readers.read_image(p).astype(np.float32) / 255.0
             if flip:
                 img = img[:, ::-1]
             frames.append(img)

@@ -44,7 +44,10 @@ def multi_head_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import os
+
+        use_pallas = (jax.default_backend() == "tpu"
+                      and not os.environ.get("ENDODAV_NO_FLASH"))
     if use_pallas and q.shape[1] > 64:
         try:
             from endodav_tpu.kernels.flash_attention import flash_attention

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(fused: bool, image_shape, chunk_windows, iters: int):
+def measure(fused: bool, image_shape, chunk_windows, iters: int,
+            grad: bool = False, frames: int = 32):
     from endodav_tpu.models import EndoDAV
     from endodav_tpu.models import motion as motion_mod
 
@@ -32,17 +33,26 @@ def measure(fused: bool, image_shape, chunk_windows, iters: int):
                         residual_block_indexes=(),
                         image_shape=image_shape, dtype=jnp.bfloat16)
         variables = jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, 32, *image_shape, 3)))
-        fwd = jax.jit(lambda w: model.apply(variables, w)[("disp", 0)])
+            jax.random.PRNGKey(0), jnp.zeros((1, frames, *image_shape, 3)))
+        if grad:
+            def loss(params, w):
+                d = model.apply(params, w)[("disp", 0)]
+                return (d.astype(jnp.float32) ** 2).mean()
+
+            step = jax.jit(jax.grad(loss))
+            run = lambda w: step(variables, w)
+        else:
+            run = jax.jit(lambda w: model.apply(variables, w)[("disp", 0)])
 
         rng = np.random.default_rng(0)
-        chunks = [jnp.asarray(rng.uniform(0, 1, (chunk_windows, 32, *image_shape, 3)),
-                              jnp.bfloat16) for _ in range(3)]
-        jax.block_until_ready(fwd(chunks[0]))  # compile
+        chunks = [jnp.asarray(
+            rng.uniform(0, 1, (chunk_windows, frames, *image_shape, 3)),
+            jnp.bfloat16) for _ in range(3)]
+        jax.block_until_ready(run(chunks[0]))  # compile
         times = []
         for i in range(iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(fwd(chunks[i % len(chunks)]))
+            jax.block_until_ready(run(chunks[i % len(chunks)]))
             times.append(time.perf_counter() - t0)
         return times
     finally:
@@ -53,15 +63,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="518", choices=["518", "224"])
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--grad", action="store_true",
+                    help="time fwd+bwd (training regime, T=16) instead of forward")
     args = ap.parse_args()
     image_shape, chunk_windows = ((518, 644), 2) if args.config == "518" else ((224, 280), 5)
     frames = chunk_windows * 32
+    t_frames = 32
+    if args.grad:
+        # training regime: B=1, T=16 (scripts/train_video.sh)
+        chunk_windows, t_frames = 1, 16
+        frames = t_frames
 
     for fused in (False, True):
-        times = measure(fused, image_shape, chunk_windows, args.iters)
+        times = measure(fused, image_shape, chunk_windows, args.iters,
+                        grad=args.grad, frames=t_frames)
         med = statistics.median(times)
-        print(f"fused={fused}: median {med*1e3:.1f} ms/chunk "
-              f"({frames/med:.1f} fps compute) "
+        print(f"fused={fused} grad={args.grad}: median {med*1e3:.1f} ms "
+              f"({frames/med:.1f} fps) "
               f"all={['%.0f' % (t*1e3) for t in times]}")
 
 
