@@ -76,6 +76,27 @@ def build_depth_model(opt):
                 sd = ckpt.load_torch_file(path)
                 variables, report = ckpt.torch_to_flax(sd, opt.model_type, variables)
                 print(f"[eval] loaded pretrained {path}: {len(report['used'])} tensors")
+    lora_type = getattr(opt, "lora_type", "none")
+    if getattr(opt, "merge_lora", False) and lora_type not in ("none", "galora"):
+        # fold adapters into the base weights and serve a lora-free graph
+        # (exact at f32; models/lora.py:merge_lora_params)
+        import copy
+
+        from endodav_tpu.models.endodac import _endodac_lora_alpha
+        from endodav_tpu.models.endodav import _endodav_lora_alpha
+        from endodav_tpu.models.lora import merge_lora_params
+
+        r = getattr(opt, "lora_rank", 4)
+        alpha = (_endodav_lora_alpha(lora_type, r) if opt.model_type == "endodav"
+                 else _endodac_lora_alpha(lora_type, r))
+        merged = dict(variables)
+        merged["params"] = merge_lora_params(variables["params"], lora_type, r, alpha)
+        opt2 = copy.copy(opt)
+        opt2.lora_type = "none"
+        opt2.temporal_lora = False
+        model = build_models(opt2)["depth_model"]
+        print(f"[eval] merged {lora_type} adapters into base weights (r={r}, alpha={alpha})")
+        return model, merged
     return model, variables
 
 

@@ -156,6 +156,10 @@ class EndoDAVOptions:
                        help="shard video-depth window chunks over 'data=N' devices")
         p.add_argument("--fast_stitch", action="store_true",
                        help="single-kernel on-device window stitch (serving fast path)")
+        p.add_argument("--merge_lora", action="store_true",
+                       help="fold LoRA deltas into the base weights for "
+                            "serving (exact; -6%% forward time, "
+                            "models/lora.py:merge_lora_params)")
 
     def parse(self, args=None):
         return self.parser.parse_args(args)

@@ -155,3 +155,57 @@ def test_dash_phase2_flow():
     v3 = {"params": dict(new_params, lora_index=jnp.ones((8,)))}
     y3 = m.apply(v3, x, dash_phase2=True)
     assert not np.allclose(np.asarray(y3), np.asarray(y1))
+
+
+@pytest.mark.parametrize("variant", ["lora", "dvlora", "ssb", "flora", "dash"])
+def test_merge_lora_dense_exact(variant):
+    from endodav_tpu.models.lora import merge_lora_params
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((5, 16)).astype(np.float32))
+    m = LoRADense(12, r=4, variant=variant)
+    p = m.init(jax.random.PRNGKey(2), x)["params"]
+    # non-trivial adapters (lora_B is zero-init -> randomize everything)
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape).astype(np.float32) * 0.1), p)
+    want = m.apply({"params": p}, x)
+
+    merged = merge_lora_params(p, variant, 4, None)
+    assert set(merged.keys()) == {"kernel", "bias"}
+    m_none = LoRADense(12, r=4, variant="none")
+    got = m_none.apply({"params": merged}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    if variant == "dash":  # phase-2 term folds too
+        want2 = m.apply({"params": p}, x, True)
+        merged2 = merge_lora_params(p, variant, 4, None, dash_phase2=True)
+        got2 = m_none.apply({"params": merged2}, x)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5, rtol=1e-5)
+
+
+def test_merge_lora_endodav_model():
+    """Whole-model merge: tree matches the lora_type='none' model and the
+    disparity output is unchanged."""
+    from endodav_tpu.models import EndoDAV
+    from endodav_tpu.models.endodav import _endodav_lora_alpha
+    from endodav_tpu.models.lora import merge_lora_params
+
+    rng = np.random.default_rng(12)
+    kw = dict(encoder="vits", image_shape=(28, 42), temporal_lora=True)
+    m = EndoDAV(lora_type="dvlora", **kw)
+    x = jnp.asarray(rng.standard_normal((1, 2, 28, 42, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(3), x)
+    # randomize so adapters are non-trivial
+    leaves, treedef = jax.tree_util.tree_flatten(v["params"])
+    leaves = [jnp.asarray(rng.standard_normal(a.shape).astype(np.float32) * 0.05)
+              for a in leaves]
+    v = {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+    want = m.apply(v, x)[("disp", 0)]
+
+    merged = merge_lora_params(v["params"], "dvlora", 4, _endodav_lora_alpha("dvlora", 4))
+    m_none = EndoDAV(lora_type="none", **{**kw, "temporal_lora": False})
+    v_none = m_none.init(jax.random.PRNGKey(4), x)
+    assert (jax.tree_util.tree_structure(v_none["params"])
+            == jax.tree_util.tree_structure(merged))
+    got = m_none.apply({"params": merged}, x)[("disp", 0)]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)

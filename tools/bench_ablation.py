@@ -51,7 +51,7 @@ def vit_time(image_shape, chunk_windows, iters, rng):
     m = DinoViT(dtype=jnp.bfloat16)  # vits defaults
     frames = chunk_windows * 32
     x = jnp.zeros((frames, *image_shape, 3), jnp.bfloat16)
-    p = jax.jit(m.init)(jax.random.PRNGKey(0), x, (2, 5, 8, 11))
+    p = jax.jit(lambda k, w: m.init(k, w, (2, 5, 8, 11)))(jax.random.PRNGKey(0), x)
     run = jax.jit(lambda w: m.apply(p, w, (2, 5, 8, 11))[-1][0])
     chunks = [jnp.asarray(rng.uniform(0, 1, (frames, *image_shape, 3)),
                           jnp.bfloat16) for _ in range(3)]

@@ -44,15 +44,17 @@ def measure(fused: bool, image_shape, chunk_windows, iters: int,
         else:
             run = jax.jit(lambda w: model.apply(variables, w)[("disp", 0)])
 
+        # one distinct buffer per timed call — repeated (executable, args)
+        # pairs have produced impossibly fast times through the relay
         rng = np.random.default_rng(0)
         chunks = [jnp.asarray(
             rng.uniform(0, 1, (chunk_windows, frames, *image_shape, 3)),
-            jnp.bfloat16) for _ in range(3)]
+            jnp.bfloat16) for _ in range(iters + 1)]
         jax.block_until_ready(run(chunks[0]))  # compile
         times = []
         for i in range(iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(chunks[i % len(chunks)]))
+            jax.block_until_ready(run(chunks[i + 1]))
             times.append(time.perf_counter() - t0)
         return times
     finally:
