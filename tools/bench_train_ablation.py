@@ -147,6 +147,13 @@ def main():
 
     results = {}
 
+    def record(name, fn):
+        try:
+            results[name] = timeit(fn, dev_batches, args.iters)
+            print(f"{name}: {results[name]*1e3:.0f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+
     step_fn = tr._step_fn if hasattr(tr, "_step_fn") else tr._build_step(False)
 
     # the step donates (variables, opt_state, opt_state_0); thread them
@@ -160,14 +167,17 @@ def main():
         state[0], state[1], state[2] = v, s1, s0
         return scalars["loss_0"]
 
-    results["full step"] = timeit(full, dev_batches, args.iters)
+    record("full step", full)
     variables = state[0]  # post-step params for the sub-pieces below
+    dev_vars = variables  # already on device; passed as jit args so the
+    # params travel as buffers, not HLO constants (a closed-over 100 MB
+    # params tree blew the remote-compile request limit)
 
     pos_params = {k: variables[k]["params"] for k in POSITION_COMPONENTS}
     main_params = {k: variables[k]["params"] for k in MAIN_COMPONENTS}
 
     @jax.jit
-    def phase0(batch):
+    def phase0_impl(variables, pos_params, batch):
         def loss0(pp):
             v = dict(variables)
             v["position_encoder"] = {"params": pp["position_encoder"],
@@ -181,17 +191,17 @@ def main():
         (l0, _), g = jax.value_and_grad(loss0, has_aux=True)(pos_params)
         return l0, jax.tree_util.tree_map(lambda a: a.sum(), g)
 
-    results["phase0 grad"] = timeit(phase0, dev_batches, args.iters)
+    record("phase0 grad", lambda b: phase0_impl(dev_vars, pos_params, b))
 
     @jax.jit
-    def main_fwd(batch):
+    def main_fwd_impl(variables, batch):
         loss, aux = L.main_phase(mods, variables, batch, cfg)
         return loss
 
-    results["main_phase fwd"] = timeit(main_fwd, dev_batches, args.iters)
+    record("main_phase fwd", lambda b: main_fwd_impl(dev_vars, b))
 
     @jax.jit
-    def main_grad(batch):
+    def main_grad_impl(variables, main_params, batch):
         def lm(mp):
             v = dict(variables)
             for k in MAIN_COMPONENTS:
@@ -203,31 +213,60 @@ def main():
         l, g = jax.value_and_grad(lm)(main_params)
         return l, jax.tree_util.tree_map(lambda a: a.sum(), g)
 
-    results["main_phase grad"] = timeit(main_grad, dev_batches, args.iters)
+    record("main_phase grad", lambda b: main_grad_impl(dev_vars, main_params, b))
 
     @jax.jit
-    def depth_fwd(batch):
+    def depth_fwd_impl(dm_vars, batch):
         video = batch[("color_aug", 0, 0)].reshape(
             opt.batch_size, opt.T, opt.height, opt.width, 3)
-        out = mods["depth_model"].apply(variables["depth_model"], video, train=True)
+        out = mods["depth_model"].apply(dm_vars, video, train=True)
         return out[("disp", 0)].astype(jnp.float32).mean()
 
-    results["depth model fwd"] = timeit(depth_fwd, dev_batches, args.iters)
+    record("depth model fwd", lambda b: depth_fwd_impl(dev_vars["depth_model"], b))
 
     @jax.jit
-    def depth_grad(batch):
+    def depth_grad_impl(dm_vars, batch):
         def ld(p):
             video = batch[("color_aug", 0, 0)].reshape(
                 opt.batch_size, opt.T, opt.height, opt.width, 3)
-            v = dict(variables["depth_model"])
+            v = dict(dm_vars)
             v["params"] = p
             out = mods["depth_model"].apply(v, video, train=True)
             return (out[("disp", 0)].astype(jnp.float32) ** 2).mean()
 
-        l, g = jax.value_and_grad(ld)(variables["depth_model"]["params"])
+        l, g = jax.value_and_grad(ld)(dm_vars["params"])
         return l, jax.tree_util.tree_map(lambda a: a.sum(), g)
 
-    results["depth model grad"] = timeit(depth_grad, dev_batches, args.iters)
+    record("depth model grad", lambda b: depth_grad_impl(dev_vars["depth_model"], b))
+
+    # ---- ground truth: N chained steps inside ONE jit (lax.scan).  A
+    # single dispatch, data-dependent carry — no relay/runtime layer can
+    # elide or overlap anything, so wall/N is true device time per step.
+    N = 10
+
+    def body(carry, _):
+        v, a, b = carry
+        v, a, b, scalars, _ = step_fn(v, a, b, dict(dev_batches[0]),
+                                      jnp.asarray(0), jnp.asarray(1e-4),
+                                      jnp.asarray(1e-4))
+        return (v, a, b), scalars["loss_0"]
+
+    @jax.jit
+    def scan_steps(v, a, b):
+        (v, a, b), losses = jax.lax.scan(body, (v, a, b), None, length=N)
+        return losses
+
+    try:
+        losses = scan_steps(state[0], state[1], state[2])
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        losses = scan_steps(state[0], state[1], state[2])
+        jax.block_until_ready(losses)
+        per = (time.perf_counter() - t0) / N
+        results[f"full step (scan x{N}, ground truth)"] = per
+        print(f"full step (scan x{N}, ground truth): {per*1e3:.0f} ms", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"scan ground truth FAILED: {type(e).__name__}: {e}", flush=True)
 
     print("\n=== train-step ablation (median of %d) ===" % args.iters)
     for k, v in results.items():
