@@ -40,14 +40,24 @@ _failed = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    # build to a pid-unique temp and rename: atomic on POSIX, so two
+    # processes building concurrently can't hand dlopen a half-written .so
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", _SO, "-lpng", "-ljpeg", "-ltiff", "-lpthread"]
+           "-o", tmp, "-lpng", "-ljpeg", "-ltiff", "-lpthread"]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if r.returncode != 0:
+            return False
+        os.replace(tmp, _SO)
     except (OSError, subprocess.TimeoutExpired):
         return False
-    if r.returncode != 0:
-        return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     return True
 
 

@@ -43,7 +43,23 @@ def grid_sample(
     """Bilinear sampling with torch `grid_sample` semantics.
 
     img:  [B, H, W, C]; grid: [B, Ho, Wo, 2] with normalized (x, y) in [-1, 1].
+
+    Integer images are supported: gathered corners are converted to f32
+    *after* the gather and the blend returned in f32 (bilinear blending
+    commutes with the linear u8->f32 conversion, so `grid_sample(u8)/255`
+    equals `grid_sample(u8/255)` to f32 rounding).
+
+    Performance note (measured, tools/bench_gather.py + PERFORMANCE.md
+    "Train-step profile"): XLA's TPU gather costs ~7 ns per INDEX
+    regardless of dtype or slice width (u8/bf16/f32 identical; 2x2-patch
+    and x-pair multi-dim slices are *slower* per corner), so these warps
+    dominate the reference-config train step and no XLA-level
+    reformulation helps.  Mosaic's in-kernel `dynamic_gather` is limited
+    to a single source vreg ("Multiple source vregs along gather
+    dimension: Not implemented"), which rules out a fast Pallas gather
+    until that lands upstream.
     """
+    integer_img = jnp.issubdtype(img.dtype, jnp.integer)
     b, h, w, c = img.shape
     gx, gy = grid[..., 0], grid[..., 1]
     if align_corners:
@@ -67,11 +83,13 @@ def grid_sample(
             xc = jnp.clip(xi, 0, w - 1)
             yc = jnp.clip(yi, 0, h - 1)
             val = _gather_hw(img, xc, yc)
+            if integer_img:
+                val = val.astype(jnp.float32)
             if padding_mode == "zeros":
                 inside = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
                 weight = weight * inside[..., None]
             out = out + weight * val
-    return out.astype(img.dtype)
+    return out.astype(jnp.float32) if integer_img else out.astype(img.dtype)
 
 
 def flow_warp(src: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "border") -> jnp.ndarray:

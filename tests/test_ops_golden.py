@@ -145,3 +145,22 @@ def test_occlusion_map_matches_torch_scatter():
 def test_flow_consistency_zero_flows():
     out = np.asarray(flow_consistency(jnp.zeros((1, 8, 10, 2)), jnp.zeros((1, 8, 10, 2))))
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_grid_sample_uint8_matches_float():
+    """u8 gather + f32 blend == f32 gather + blend (linearity of the
+    conversion), to f32 rounding."""
+    import jax.numpy as jnp
+
+    from endodav_tpu.ops.sampling import grid_sample
+
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (2, 16, 20, 3), dtype=np.uint8)
+    img_f = jnp.asarray(u8.astype(np.float32) / 255.0)
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 16, 20, 2)).astype(np.float32))
+    for mode in ("border", "zeros"):
+        want = grid_sample(img_f, grid, padding_mode=mode)
+        got = grid_sample(jnp.asarray(u8), grid, padding_mode=mode) / 255.0
+        assert got.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, rtol=1e-6)

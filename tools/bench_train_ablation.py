@@ -239,34 +239,24 @@ def main():
 
     record("depth model grad", lambda b: depth_grad_impl(dev_vars["depth_model"], b))
 
-    # ---- ground truth: N chained steps inside ONE jit (lax.scan).  A
-    # single dispatch, data-dependent carry — no relay/runtime layer can
-    # elide or overlap anything, so wall/N is true device time per step.
-    N = 10
-
-    def body(carry, _):
-        v, a, b = carry
-        v, a, b, scalars, _ = step_fn(v, a, b, dict(dev_batches[0]),
-                                      jnp.asarray(0), jnp.asarray(1e-4),
-                                      jnp.asarray(1e-4))
-        return (v, a, b), scalars["loss_0"]
-
-    @jax.jit
-    def scan_steps(v, a, b):
-        (v, a, b), losses = jax.lax.scan(body, (v, a, b), None, length=N)
-        return losses
-
+    # ---- ground truth: device-side executable durations from the
+    # profiler (tools/profile_device.py) — the only timing path this
+    # environment reports faithfully.
     try:
-        losses = scan_steps(state[0], state[1], state[2])
-        jax.block_until_ready(losses)
-        t0 = time.perf_counter()
-        losses = scan_steps(state[0], state[1], state[2])
-        jax.block_until_ready(losses)
-        per = (time.perf_counter() - t0) / N
-        results[f"full step (scan x{N}, ground truth)"] = per
-        print(f"full step (scan x{N}, ground truth): {per*1e3:.0f} ms", flush=True)
+        from tools.profile_device import device_profile
+
+        def run_profiled():
+            out = None
+            for i in range(3):
+                out = full(dev_batches[min(i, len(dev_batches) - 1)])
+            return out
+
+        rows = device_profile(run_profiled)
+        print("\n--- device-side profile of 3 full steps (top executables) ---")
+        for name, n, ms in rows[:12]:
+            print(f"{name}: n={n} total={ms:.2f} ms")
     except Exception as e:  # noqa: BLE001
-        print(f"scan ground truth FAILED: {type(e).__name__}: {e}", flush=True)
+        print(f"device profile FAILED: {type(e).__name__}: {e}", flush=True)
 
     print("\n=== train-step ablation (median of %d) ===" % args.iters)
     for k, v in results.items():
