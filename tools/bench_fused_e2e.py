@@ -22,14 +22,14 @@ import numpy as np
 
 
 def measure(fused: bool, image_shape, chunk_windows, iters: int,
-            grad: bool = False, frames: int = 32):
+            grad: bool = False, frames: int = 32, encoder: str = "vits"):
     from endodav_tpu.models import EndoDAV
     from endodav_tpu.models import motion as motion_mod
 
     orig = motion_mod._use_fused_block
     motion_mod._use_fused_block = (lambda *a: False) if not fused else orig
     try:
-        model = EndoDAV(encoder="vits", lora_type="dvlora",
+        model = EndoDAV(encoder=encoder, lora_type="dvlora",
                         residual_block_indexes=(),
                         image_shape=image_shape, dtype=jnp.bfloat16)
         variables = jax.jit(model.init)(
@@ -67,6 +67,7 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--grad", action="store_true",
                     help="time fwd+bwd (training regime, T=16) instead of forward")
+    ap.add_argument("--encoder", default="vits", choices=["vits", "vitl"])
     args = ap.parse_args()
     image_shape, chunk_windows = ((518, 644), 2) if args.config == "518" else ((224, 280), 5)
     frames = chunk_windows * 32
@@ -76,11 +77,14 @@ def main():
         chunk_windows, t_frames = 1, 16
         frames = t_frames
 
+    if args.encoder == "vitl":
+        chunk_windows = 1
+        frames = chunk_windows * t_frames
     for fused in (False, True):
         times = measure(fused, image_shape, chunk_windows, args.iters,
-                        grad=args.grad, frames=t_frames)
+                        grad=args.grad, frames=t_frames, encoder=args.encoder)
         med = statistics.median(times)
-        print(f"fused={fused} grad={args.grad}: median {med*1e3:.1f} ms "
+        print(f"fused={fused} grad={args.grad} {args.encoder}: median {med*1e3:.1f} ms "
               f"({frames/med:.1f} fps) "
               f"all={['%.0f' % (t*1e3) for t in times]}")
 
