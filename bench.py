@@ -58,11 +58,22 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (n_frames, *src_hw, 3), dtype=np.uint8)
 
-    model = EndoDAV(encoder="vits", lora_type="dvlora",
+    # production serving config: dvlora weights with the adapters folded
+    # into the base kernels (--merge_lora; exact — models/lora.py), so the
+    # forward carries no adapter matmuls (measured 6% of the chunk)
+    from endodav_tpu.models.endodav import _endodav_lora_alpha
+    from endodav_tpu.models.lora import merge_lora_params
+
+    lora_model = EndoDAV(encoder="vits", lora_type="dvlora",
+                         residual_block_indexes=residual_blocks,
+                         image_shape=image_shape, dtype=jnp.bfloat16)
+    variables = jax.jit(lora_model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, *image_shape, 3)))
+    variables = {"params": merge_lora_params(
+        variables["params"], "dvlora", 4, _endodav_lora_alpha("dvlora", 4))}
+    model = EndoDAV(encoder="vits", lora_type="none",
                     residual_block_indexes=residual_blocks,
                     image_shape=image_shape, dtype=jnp.bfloat16)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 32, *image_shape, 3)))
 
     def fwd(win):
         return model.apply(variables, win)[("disp", 0)]

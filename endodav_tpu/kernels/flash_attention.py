@@ -35,26 +35,27 @@ __all__ = ["flash_attention"]
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int, block_q: int):
-    q = q_ref[0, 0]  # [block_q, dh]
-    k = k_ref[0, 0]  # [n_pad, dh]
-    v = v_ref[0, 0]
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
+                 heads: int, dh: int):
+    q = q_ref[0]  # [block_q, H*Dh]
+    k = k_ref[0]  # [n_pad, H*Dh]
+    v = v_ref[0]
     n_pad = k.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], n_pad), 1)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale
-    if n_valid != n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, _MASK_VALUE)
-
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
-    p = p / denom
-    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    for hh in range(heads):
+        sl = slice(hh * dh, (hh + 1) * dh)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if n_valid != n_pad:
+            s = jnp.where(col < n_valid, s, _MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def _round_up(x, m):
@@ -74,36 +75,43 @@ def _forward(q, k, v, scale):
     n_pad = _round_up(n, 128)
     block_q = min(n_pad, 512)
 
-    def prep(x):
-        x = jnp.swapaxes(x, 1, 2)  # [B, H, N, Dh]
-        if n_pad != n:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-        return x
+    # heads fold into the lane dimension ([B, N, H*Dh] — a free reshape of
+    # the native layout) and are peeled by lane slices inside the kernel,
+    # so no [B,N,H,Dh]->[B,H,N,Dh] transpose is ever materialized in HBM —
+    # the former prep/unprep relayouts cost more than the kernel itself at
+    # N=1702 (47 ms vs 53 ms per 518px chunk, PERFORMANCE.md).  Only K/V
+    # carry an explicit N-pad (masked + zeroed via the score mask); the
+    # q-side edge block is Pallas padding whose garbage rows are clipped
+    # on the output write.
+    qf = q.reshape(b, n, h * dh)
+    kf = k.reshape(b, n, h * dh)
+    vf = v.reshape(b, n, h * dh)
+    if n_pad != n:
+        kf = jnp.pad(kf, ((0, 0), (0, n_pad - n), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    qt, kt, vt = prep(q), prep(k), prep(v)
-    grid = (b, h, n_pad // block_q)
+    grid = (b, n_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_valid=n, block_q=block_q),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, dh), q.dtype),
+        functools.partial(_attn_kernel, scale=scale, n_valid=n, heads=h, dh=dh),
+        out_shape=jax.ShapeDtypeStruct((b, n, h * dh), q.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                pl.BlockSpec((1, block_q, h * dh), lambda bi, qi: (bi, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, n_pad, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                pl.BlockSpec((1, n_pad, h * dh), lambda bi, qi: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, n_pad, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                pl.BlockSpec((1, n_pad, h * dh), lambda bi, qi: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+            out_specs=pl.BlockSpec((1, block_q, h * dh), lambda bi, qi: (bi, qi, 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel"),
         ),
-    )(qt, kt, vt)
-    out = out[:, :, :n, :]
-    return jnp.swapaxes(out, 1, 2)
+    )(qf, kf, vf)
+    return out.reshape(b, n, h, dh)
 
 
 def _fwd(q, k, v, scale):

@@ -136,11 +136,13 @@ def resize2d(
     sh, sw = (scale_hw if scale_hw is not None else (None, None))
     mh = jnp.asarray(interp_matrix(h, oh, method, align_corners, antialias, sh))
     mw = jnp.asarray(interp_matrix(w, ow, method, align_corners, antialias, sw))
-    y = x.reshape((-1, h, w * c))
-    y = jnp.einsum("ph,bhk->bpk", mh, y, preferred_element_type=jnp.float32)
-    y = y.reshape((-1, oh, w, c)).swapaxes(1, 2).reshape((-1, w, oh * c))
-    y = jnp.einsum("qw,bwk->bqk", mw, y, preferred_element_type=jnp.float32)
-    y = y.reshape((-1, ow, oh, c)).swapaxes(1, 2)
+    # separable passes as einsums over the native layout — XLA folds the
+    # dimension ordering into the dot_generals instead of materializing
+    # the reshape/swapaxes relayouts (profiled at 28+ ms per big resize
+    # in the manual-transpose form, PERFORMANCE.md serving profile)
+    y = x.reshape((-1, h, w, c))
+    y = jnp.einsum("ph,bhwc->bpwc", mh, y, preferred_element_type=jnp.float32)
+    y = jnp.einsum("qw,bpwc->bpqc", mw, y, preferred_element_type=jnp.float32)
     return y.reshape((*lead, oh, ow, c)).astype(x.dtype)
 
 
