@@ -10,15 +10,20 @@ Shape regime (SURVEY.md §2.5): sequences are *short* — N = 321 tokens at
 online-softmax KV tiling: a whole (N, Dh) K/V block fits comfortably in
 VMEM (1370 x 64 x 4 B ≈ 350 KB).  The kernel therefore:
 
-  * grids over (batch, heads, q-blocks) — all parallel dimensions,
-  * keeps K/V whole in VMEM per (b, h) cell,
+  * grids over (batch, q-blocks) on the native [B, N, H·Dh] layout —
+    heads are peeled by lane slices inside the kernel, so no
+    [B,N,H,Dh]->[B,H,N,Dh] transpose is materialized in HBM (the
+    relayouts cost more than the kernel at N=1702; PERFORMANCE.md),
+  * keeps K/V whole in VMEM per batch cell,
   * computes the f32 scores tile, masked softmax and P@V on the MXU in
     one fused pass (no HBM round-trip for the N×N scores, which is what
     makes the XLA fallback bandwidth-bound).
 
-Sequence padding to the 128-lane grid is handled here with key masking.
-The backward pass recomputes scores in plain XLA (cheap at these N) via
-custom_vjp, so the kernel is usable inside the LoRA training step.
+Sequence padding to the 128-lane grid is handled with key masking (K/V
+carry an explicit N-pad; the q-side edge block is Pallas padding whose
+rows are clipped on the output write).  The backward pass recomputes
+scores in plain XLA (cheap at these N) via custom_vjp, so the kernel is
+usable inside the LoRA training step.
 """
 
 from __future__ import annotations

@@ -265,7 +265,6 @@ class TemporalModule(nn.Module):
             )(y, dash_phase2, train)
         y = y.reshape(b, h * w, frames, c).swapaxes(1, 2).reshape(bt, h * w, c)
 
-        proj_out_init = nn.initializers.zeros if self.zero_initialize else None
         proj_out = nn.Dense(
             c, dtype=self.dtype, name="proj_out",
             **({"kernel_init": nn.initializers.zeros} if self.zero_initialize else {}),

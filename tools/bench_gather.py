@@ -12,7 +12,7 @@ grid_sample does 4).
 
 from __future__ import annotations
 
-import functools
+
 import sys
 
 import jax
