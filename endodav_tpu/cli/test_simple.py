@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--scales", nargs="+", type=int, default=[0, 1, 2, 3])
     p.add_argument("--ext", type=str, default="png")
     p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--merge_lora", action="store_true",
+                   help="fold LoRA deltas into base weights for serving (exact)")
     return p.parse_args()
 
 
