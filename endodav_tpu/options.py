@@ -144,7 +144,10 @@ class EndoDAVOptions:
 
         # inference batching knobs (TPU window parallelism)
         p.add_argument("--chunk_windows", type=int, default=2,
-                       help="video-depth windows batched per forward pass")
+                       help="video-depth windows batched per forward pass "
+                            "(v5e vits throughput optimum: 4 at 518px, "
+                            "5-10 at 224x280 — PERFORMANCE.md; window "
+                            "count pads up to a multiple of this)")
         p.add_argument("--depth_image_shape", nargs=2, type=int, default=[224, 280],
                        help="model-internal (H, W); the 518px config is "
                             "'--depth_image_shape 518 518' with keep-aspect "
