@@ -209,3 +209,26 @@ def test_merge_lora_endodav_model():
             == jax.tree_util.tree_structure(merged))
     got = m_none.apply({"params": merged}, x)[("disp", 0)]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_merge_lora_endodac_model():
+    from endodav_tpu.models import EndoDAC
+    from endodav_tpu.models.endodac import _endodac_lora_alpha
+    from endodav_tpu.models.lora import merge_lora_params
+
+    rng = np.random.default_rng(13)
+    m = EndoDAC(lora_type="lora", image_shape=(28, 42))
+    x = jnp.asarray(rng.standard_normal((1, 28, 42, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(5), x)
+    leaves, treedef = jax.tree_util.tree_flatten(v["params"])
+    leaves = [jnp.asarray(rng.standard_normal(a.shape).astype(np.float32) * 0.05)
+              for a in leaves]
+    v = {"params": jax.tree_util.tree_unflatten(treedef, leaves)}
+    want = m.apply(v, x)[("disp", 0)]
+    merged = merge_lora_params(v["params"], "lora", 4, _endodac_lora_alpha("lora", 4))
+    m_none = EndoDAC(lora_type="none", image_shape=(28, 42))
+    v_none = m_none.init(jax.random.PRNGKey(6), x)
+    assert (jax.tree_util.tree_structure(v_none["params"])
+            == jax.tree_util.tree_structure(merged))
+    got = m_none.apply({"params": merged}, x)[("disp", 0)]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
