@@ -110,8 +110,11 @@ def _init_depth_variables(model, opt):
 
 def load_component(opt, name, module, init_args):
     """Load a pose-stack component from load_weights_folder
-    (.msgpack native or .pth torch)."""
+    (.msgpack native or .pth torch); random init when no folder given."""
     variables = jax.jit(lambda k: module.init(k, *init_args))(jax.random.PRNGKey(0))
+    if not opt.load_weights_folder:
+        print(f"[eval] no --load_weights_folder; {name} runs with random init")
+        return variables
     folder = os.path.expanduser(opt.load_weights_folder)
     native = os.path.join(folder, f"{name}.msgpack")
     torch_pth = os.path.join(folder, f"{name}.pth")
