@@ -95,7 +95,11 @@ def _forward(q, k, v, scale):
         kf = jnp.pad(kf, ((0, 0), (0, n_pad - n), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    grid = (b, n_pad // block_q)
+    # Ceil division: the q-grid must cover every valid row even when n_pad
+    # is not a multiple of block_q (e.g. N=1703 at 518x644 -> n_pad=1792,
+    # block_q=512 -> 4 blocks).  The edge block's out-of-range rows are
+    # Pallas padding, clipped on the output write.
+    grid = (b, pl.cdiv(n, block_q))
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, n_valid=n, heads=h, dh=dh),
         out_shape=jax.ShapeDtypeStruct((b, n, h * dh), q.dtype),

@@ -135,7 +135,13 @@ int jpeg_run(const char* path, unsigned char* out, int h, int w, int* oh, int* o
   return 0;
 }
 
-// ---------- TIFF (SCARED scene_points: float32 samples, channel 0) ----------
+// ---------- TIFF (SCARED scene_points float32) ----------
+//
+// Behavior contract: reproduce cv2.imread(path, 3)[0:h, :, 0] (reference
+// datasets/scared_video_dataset.py:52).  cv2 returns BGR, so its channel
+// 0 is the *last* sample stored in the file — for 3-sample scene_points
+// (x, y, z) that is the z/depth plane, NOT sample 0.  We therefore copy
+// sample spp-1.
 
 int tiff_decode_f32(const char* path, float* out, int h, int w, int* oh, int* ow) {
   TIFFSetWarningHandler(nullptr);
@@ -160,14 +166,19 @@ int tiff_decode_f32(const char* path, float* out, int h, int w, int* oh, int* ow
     TIFFClose(tif);
     return -3;
   }
+  const uint16_t want = static_cast<uint16_t>(spp - 1);  // cv2 BGR channel 0
   std::vector<float> row(static_cast<size_t>(tw) * spp);
   for (int y = 0; y < h; ++y) {
-    if (TIFFReadScanline(tif, row.data(), y, 0) < 0) {
+    // For PLANARCONFIG_SEPARATE the 4th arg selects the sample plane;
+    // for CONTIG libtiff requires 0 and the row interleaves samples.
+    uint16_t plane_arg = (planar == PLANARCONFIG_SEPARATE) ? want : 0;
+    if (TIFFReadScanline(tif, row.data(), y, plane_arg) < 0) {
       TIFFClose(tif);
       return -4;
     }
     if (planar == PLANARCONFIG_CONTIG && spp > 1) {
-      for (int x = 0; x < w; ++x) out[static_cast<size_t>(y) * w + x] = row[static_cast<size_t>(x) * spp];
+      for (int x = 0; x < w; ++x)
+        out[static_cast<size_t>(y) * w + x] = row[static_cast<size_t>(x) * spp + want];
     } else {
       memcpy(out + static_cast<size_t>(y) * w, row.data(), sizeof(float) * w);
     }

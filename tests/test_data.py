@@ -29,9 +29,14 @@ def scared_tree(tmp_path_factory):
             cv2.imwrite(str(base / "left" / f"{i:06d}.png"), img)
             cv2.imwrite(str(base / "right" / f"{i:06d}.png"), img)
             depth = RNG.uniform(20, 120, (h, w)).astype(np.float32)
+            # Three DISTINCT channels (like real scene_points x,y,z) so the
+            # native-decode parity test catches channel-selection bugs: the
+            # depth the readers must return is cv2 channel 0 of the BGR read.
+            scene = np.stack([depth, depth * 0.25 + 7.0, depth * -0.5 + 3.0],
+                             axis=-1)
             cv2.imwrite(
                 str(base / "scene_points" / f"scene_points{i:06d}.tiff"),
-                np.stack([depth] * 3, axis=-1),
+                scene,
             )
             pose = np.eye(4)
             pose[:3, 3] = RNG.standard_normal(3) * 0.1

@@ -21,9 +21,14 @@ def _pallas_interpret_attention(q, k, v, scale):
         return fa._forward(q, k, v, scale)
 
 
-@pytest.mark.parametrize("n", [321, 128])
+@pytest.mark.parametrize("n", [321, 128, 600, 1370])
 def test_flash_attention_matches_xla(n):
+    # n=600/1370 exercise the multi-q-block grid path (n_pad not a
+    # multiple of block_q=512) — the production 518px regime; a floor-
+    # division grid left trailing query rows unwritten (round-2 bug).
     b, h, dh = 2, 3, 64
+    if n > 512:
+        b = 1
     q = jnp.asarray(RNG.standard_normal((b, n, h, dh)).astype(np.float32))
     k = jnp.asarray(RNG.standard_normal((b, n, h, dh)).astype(np.float32))
     v = jnp.asarray(RNG.standard_normal((b, n, h, dh)).astype(np.float32))
