@@ -18,6 +18,29 @@ device mesh rather than DataParallel.
 __version__ = "0.1.0"
 
 
+def _apply_platform_override():
+    """ENDODAV_FORCE_PLATFORM=cpu forces the JAX platform from the
+    environment.  Needed because some deployments pin ``jax_platforms``
+    from config-side sitecustomize hooks, where the standard
+    JAX_PLATFORMS env var is ineffective — e.g. to run a CLI as a CPU
+    subprocess while the TPU is busy (tools/parity_released.py)."""
+    import os
+
+    plat = os.environ.get("ENDODAV_FORCE_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+        if plat == "cpu":
+            cache = os.path.join(os.path.expanduser("~"), ".cache", "endodav_tpu_jax_cpu")
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass
+
+
 def _enable_persistent_compile_cache():
     """Persist XLA compilations across processes (first compile of the
     video model is expensive; CLI entry points are separate processes).
@@ -41,3 +64,4 @@ def _enable_persistent_compile_cache():
 
 
 _enable_persistent_compile_cache()
+_apply_platform_override()

@@ -44,6 +44,26 @@ MIN_DEPTH = 1e-3
 MAX_DEPTH = 150.0
 
 
+class _DashPhase2Model:
+    """Serve a dash checkpoint trained past the SVD phase boundary with
+    phase-2 forward semantics (the lora_index term on frozen U/Vᵀ).
+    Wrapping keeps every CLI's `model.apply(variables, x)` call site
+    unchanged.  Reference comparison: a freshly-loaded reference model
+    always evaluates with phase-1 semantics (DashLinear's FLAG counter
+    resets on construction, mylora/layers.py:553-585), so this is only
+    engaged for native checkpoints whose metadata records the boundary."""
+
+    def __init__(self, model):
+        self._model = model
+
+    def apply(self, variables, *args, **kwargs):
+        kwargs.setdefault("dash_phase2", True)
+        return self._model.apply(variables, *args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._model, name)
+
+
 def build_depth_model(opt):
     """Model definition + initialized/loaded variables for eval."""
     import jax.numpy as jnp
@@ -53,6 +73,7 @@ def build_depth_model(opt):
     mods = build_models(opt)
     model = mods["depth_model"]
     variables = None
+    dash_phase2 = False
     if opt.load_weights_folder:
         folder = os.path.expanduser(opt.load_weights_folder)
         native = os.path.join(folder, "depth_model.msgpack")
@@ -61,6 +82,10 @@ def build_depth_model(opt):
             variables = _init_depth_variables(model, opt)
             if os.path.exists(native):
                 variables = ckpt.load_pytree(native, variables)
+                if getattr(opt, "lora_type", "none") == "dash":
+                    dash_phase2 = bool(ckpt.load_metadata(native).get("dash_phase2", False))
+                    print(f"[eval] dash checkpoint phase: "
+                          f"{'2 (post-SVD-boundary)' if dash_phase2 else '1'}")
             else:
                 sd = ckpt.load_torch_file(torch_pth)
                 variables, report = ckpt.torch_to_flax(sd, opt.model_type, variables)
@@ -77,6 +102,11 @@ def build_depth_model(opt):
                 variables, report = ckpt.torch_to_flax(sd, opt.model_type, variables)
                 print(f"[eval] loaded pretrained {path}: {len(report['used'])} tensors")
     lora_type = getattr(opt, "lora_type", "none")
+    if getattr(opt, "merge_lora", False) and lora_type == "galora":
+        # galora's delta is gated by the input (sigmoid(x W_extra)), so it
+        # cannot fold into a static weight; serve the unmerged graph.
+        print("[eval] --merge_lora ignored: galora's input-gated delta "
+              "cannot be folded into base weights; serving unmerged graph")
     if getattr(opt, "merge_lora", False) and lora_type not in ("none", "galora"):
         # fold adapters into the base weights and serve a lora-free graph
         # (exact at f32; models/lora.py:merge_lora_params)
@@ -90,13 +120,16 @@ def build_depth_model(opt):
         alpha = (_endodav_lora_alpha(lora_type, r) if opt.model_type == "endodav"
                  else _endodac_lora_alpha(lora_type, r))
         merged = dict(variables)
-        merged["params"] = merge_lora_params(variables["params"], lora_type, r, alpha)
+        merged["params"] = merge_lora_params(variables["params"], lora_type, r, alpha,
+                                             dash_phase2=dash_phase2)
         opt2 = copy.copy(opt)
         opt2.lora_type = "none"
         opt2.temporal_lora = False
         model = build_models(opt2)["depth_model"]
         print(f"[eval] merged {lora_type} adapters into base weights (r={r}, alpha={alpha})")
         return model, merged
+    if dash_phase2:
+        model = _DashPhase2Model(model)
     return model, variables
 
 

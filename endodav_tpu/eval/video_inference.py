@@ -219,17 +219,27 @@ def _device_stitch(depth_chunks, num_windows, n, fh, fw, out_dtype):
     return np.asarray(fn(*depth_chunks), dtype=np.float32)
 
 
-def _chunk_fn(forward_windows, chunk, th, tw, fh, fw, out_dtype):
+def _chunk_fn(forward_windows, chunk, th, tw, fh, fw, out_dtype, with_variables=False):
     cache = _fn_cache(forward_windows)
-    key = (chunk, th, tw, fh, fw, np.dtype(out_dtype).name)
+    key = (chunk, th, tw, fh, fw, np.dtype(out_dtype).name, with_variables)
     fn = cache.get(key)
     if fn is None:
+        if with_variables:
+            # variables travel as jit ARGUMENTS, never as closure constants
+            # — so one trace serves every epoch's weights (the per-epoch
+            # eval retrace cost 4-8 min of compile per epoch otherwise).
+            @jax.jit
+            def fn(variables, win):
+                disp = forward_windows(variables, win)
+                disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+                return disp[..., 0].astype(out_dtype)
+        else:
 
-        @jax.jit
-        def fn(win):  # [chunk, T, th, tw, 3] -> [chunk*T, fh, fw]
-            disp = forward_windows(win)  # [chunk*T, h', w', 1]
-            disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
-            return disp[..., 0].astype(out_dtype)
+            @jax.jit
+            def fn(win):  # [chunk, T, th, tw, 3] -> [chunk*T, fh, fw]
+                disp = forward_windows(win)  # [chunk*T, h', w', 1]
+                disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+                return disp[..., 0].astype(out_dtype)
 
         cache[key] = fn
     return fn
@@ -244,6 +254,7 @@ def infer_video_depth(
     sequential: bool = False,
     stitch: str = "host",
     mesh=None,
+    variables=None,
 ) -> np.ndarray:
     """Full-video sigmoid-disparity inference.
 
@@ -257,6 +268,11 @@ def infer_video_depth(
     independent 32-frame window; chunk_windows must be a multiple of the
     axis size).  Windows are embarrassingly parallel until the stitch
     (SURVEY.md §5 long-context), so this is pure DP over ICI.
+    variables: when given, forward_windows is called as
+    forward_windows(variables, win) and variables are threaded through
+    the jit as arguments — pass a STABLE forward_windows object and the
+    chunk pipeline compiles once for any number of weight updates
+    (the trainer's per-epoch eval relies on this).
     Returns raw stitched disparity [N, H, W] at original resolution —
     callers apply `disp_to_depth` exactly as the reference does
     (evaluate_depth_video.py:167-170).
@@ -280,7 +296,11 @@ def infer_video_depth(
     idx_padded = np.concatenate([idx, np.repeat(idx[-1:], pad_to - num_windows, axis=0)], axis=0)
 
     chunk_dtype = np.float32 if stitch == "device" else transfer_dtype
-    run = _chunk_fn(forward_windows, chunk_windows, th, tw, fh, fw, chunk_dtype)
+    run = _chunk_fn(forward_windows, chunk_windows, th, tw, fh, fw, chunk_dtype,
+                    with_variables=variables is not None)
+    if variables is not None:
+        _run = run
+        run = lambda win: _run(variables, win)  # noqa: E731
     shard = None
     if mesh is not None:
         from endodav_tpu.parallel import data_sharding

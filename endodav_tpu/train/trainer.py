@@ -568,22 +568,25 @@ class Trainer:
         if self.test_sequences is None:
             return float("inf"), 0.0
         opt = self.opt
-        model = self.mods["depth_model"]
-        variables = self.variables["depth_model"]
 
-        @jax.jit
-        def fwd(win):
-            out = model.apply(variables, win)
-            return out[("disp", 0)]
+        # One persistent forward for every epoch's eval: `variables` are
+        # jit ARGUMENTS (threaded by infer_video_depth), and the closure
+        # object lives on self — so the chunk pipeline compiles exactly
+        # once per shape for the whole training run instead of retracing
+        # 4-8 min per epoch (round-2 VERDICT item 6).
+        if not hasattr(self, "_eval_forward"):
+            model = self.mods["depth_model"]
+            self._eval_forward = lambda variables, win: model.apply(variables, win)[("disp", 0)]
 
         errors, errors_temp = [], []
         pose_lines = []
         for data in self.test_sequences:
             disp = infer_video_depth(
-                fwd, data["colors"],
+                self._eval_forward, data["colors"],
                 image_shape=tuple(getattr(opt, "depth_image_shape", (224, 280))),
                 chunk_windows=opt.chunk_windows,
                 stitch="device" if getattr(opt, "fast_stitch", False) else "host",
+                variables=self.variables["depth_model"],
             )
             _, pred_depths = disp_to_depth(disp, opt.min_depth, opt.max_depth)
             pred_depths = np.asarray(pred_depths)
@@ -691,7 +694,11 @@ class Trainer:
         )
         ckpt.save_components(
             folder, self.variables,
-            metadata={"height": self.opt.height, "width": self.opt.width, "use_stereo": self.opt.use_stereo},
+            metadata={"height": self.opt.height, "width": self.opt.width,
+                      "use_stereo": self.opt.use_stereo,
+                      # lets eval serve dash checkpoints with the same
+                      # phase semantics they were trained under
+                      "dash_phase2": bool(getattr(self, "dash_phase2", False))},
         )
         ckpt.save_pytree(os.path.join(folder, "adam.msgpack"),
                          {"main": self.opt_state, "position": self.opt_state_0})

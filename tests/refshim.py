@@ -58,6 +58,60 @@ def _build_torchvision():
     transforms.Compose = Compose
     transforms.Normalize = Normalize
 
+    # --- pieces the dataset classes import/construct (mono_dataset.py:12,
+    # scared_video_dataset.py:16-17,167-188).  ToTensor/Resize are
+    # functional (used on the eval image path); ColorJitter instances are
+    # only *called* when train-time augmentation fires, so construction
+    # must succeed but the transform itself is out of eval scope. ---
+
+    functional = types.ModuleType("torchvision.transforms.functional")
+
+    class InterpolationMode:
+        NEAREST = 0
+        LANCZOS = 1
+        BILINEAR = 2
+        BICUBIC = 3
+
+    functional.InterpolationMode = InterpolationMode
+    _PIL_RESAMPLE = {0: 0, 1: 1, 2: 2, 3: 3}  # PIL: NEAREST/LANCZOS/BILINEAR/BICUBIC
+
+    class ToTensor:
+        def __call__(self, pic):
+            import numpy as np
+
+            arr = np.asarray(pic)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            t = torch.from_numpy(arr.transpose(2, 0, 1).copy())
+            return t.float() / 255.0 if t.dtype == torch.uint8 else t.float()
+
+    class Resize:
+        def __init__(self, size, interpolation=2, **kwargs):
+            self.size = size  # (h, w)
+            self.interpolation = interpolation
+
+        def __call__(self, img):
+            h, w = self.size if isinstance(self.size, (tuple, list)) else (self.size, self.size)
+            resample = _PIL_RESAMPLE.get(int(self.interpolation), 2)
+            return img.resize((w, h), resample)
+
+    class ColorJitter:
+        def __init__(self, brightness=0, contrast=0, saturation=0, hue=0):
+            self.params = (brightness, contrast, saturation, hue)
+
+        def __call__(self, img):
+            raise NotImplementedError(
+                "refshim ColorJitter is construct-only (train-time aug is out of "
+                "scope for the eval parity harness)")
+
+    transforms.ToTensor = ToTensor
+    transforms.Resize = Resize
+    transforms.ColorJitter = ColorJitter
+    transforms.InterpolationMode = InterpolationMode
+    transforms.functional = functional
+    transforms.transforms = transforms  # scared_video_dataset.py:178 idiom
+    transforms.__path__ = []  # mark as package so submodule imports resolve
+
     # --- canonical ResNet (the torchvision architecture, rewritten) ---
 
     def conv3x3(cin, cout, stride=1):
@@ -175,6 +229,7 @@ def _build_torchvision():
     return {
         "torchvision": tv,
         "torchvision.transforms": transforms,
+        "torchvision.transforms.functional": functional,
         "torchvision.models": models,
         "torchvision.models.resnet": resnet_mod,
     }
@@ -236,8 +291,18 @@ def _build_easydict():
     return {"easydict": easydict}
 
 
+def _build_skimage():
+    """skimage is imported (never called) by datasets/scared_dataset.py:4."""
+    skimage = types.ModuleType("skimage")
+    transform = types.ModuleType("skimage.transform")
+    skimage.transform = transform
+    return {"skimage": skimage, "skimage.transform": transform}
+
+
 def install_shims() -> None:
-    for name, mod in {**_build_torchvision(), **_build_fvcore(), **_build_easydict()}.items():
+    mods = {**_build_torchvision(), **_build_fvcore(), **_build_easydict(),
+            **_build_skimage()}
+    for name, mod in mods.items():
         sys.modules.setdefault(name, mod)
 
 

@@ -1,0 +1,63 @@
+"""Eval-DRIVER protocol parity vs the reference's actual eval scripts.
+
+Complements test_fullmodel_parity (model graphs) by executing the
+reference's `evaluate_depth_video.py` END TO END — its SCAREDVideos
+loader, infer_video_depth loop, disp_to_depth, align_shift_and_scale,
+compute_errors, TAE/TAS and scipy CI — via tools/parity_released.py,
+and asserting every printed metric matches our CLI on the same
+randomized weights + synthetic tree (round-2 VERDICT items 2 & 5).
+A masking/alignment drift anywhere in our metric stack fails this test.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+@pytest.fixture(scope="module")
+def synth_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scared_proto"))
+    h, w, n = 64, 80, 24  # 24 frames -> 2 sliding windows per sequence
+    rng = np.random.default_rng(5)
+    seqs = ["train/dataset5/keyframe1", "train/dataset3/keyframe3",
+            "train/dataset4/keyframe3"]  # the fixed val_files.txt split
+    for seq in seqs:
+        base = os.path.join(root, seq, "data")
+        for sub in ("left", "right", "scene_points", "frame_data"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        for i in range(n):
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(base, "left", f"{i:010d}.png"), img)
+            depth = rng.uniform(20, 120, (h, w)).astype(np.float32)
+            scene = np.stack([depth, depth * 0.25 + 7.0, -0.5 * depth + 3.0], -1)
+            cv2.imwrite(os.path.join(base, "scene_points",
+                                     f"scene_points{i:06d}.tiff"), scene)
+            pose = np.eye(4)
+            pose[:3, 3] = rng.standard_normal(3) * 0.05
+            with open(os.path.join(base, "frame_data",
+                                   f"frame_data{i:06d}.json"), "w") as f:
+                json.dump({"camera-pose": pose.tolist()}, f)
+    return root
+
+
+@pytest.mark.slow
+def test_video_eval_driver_protocol_parity(synth_tree):
+    from tools import parity_released
+
+    rc = parity_released.main([
+        "--data_path", synth_tree, "--random_weights",
+        "--disable_residual_block", "--disable_conv_head",
+        "--lora_type", "lora",
+    ])
+    assert rc == 0, "protocol metrics diverged from the reference driver"

@@ -192,3 +192,31 @@ def test_two_models_do_not_collide_in_cache():
     out2 = infer_video_depth_single_frame(f2, frames, batch_size=2)
     np.testing.assert_allclose(out1, 0.25, atol=1e-6)
     np.testing.assert_allclose(out2, 0.75, atol=1e-6)
+
+
+def test_variables_threading_no_retrace_across_weight_updates():
+    """The epoch-eval path: ONE stable forward + per-call `variables`
+    must (a) trace the chunk pipeline exactly once across weight
+    updates and (b) actually use the new weights (a closure-captured
+    variables tree would silently serve epoch-1 weights forever)."""
+    n, h, w = 45, 12, 14
+    frames = RNG.uniform(0.1, 1.0, (n, h, w, 3)).astype(np.float32)
+    traces = []
+
+    def fwd(variables, win):
+        traces.append(1)  # python side effect: runs once per trace only
+        c, t = win.shape[0], win.shape[1]
+        base = win.mean(axis=-1, keepdims=True).reshape(c * t, *win.shape[2:4], 1)
+        return base * variables["scale"] + variables["shift"]
+
+    v1 = {"scale": jnp.float32(0.5), "shift": jnp.float32(0.1)}
+    v2 = {"scale": jnp.float32(0.25), "shift": jnp.float32(0.3)}
+    out1 = infer_video_depth(fwd, frames, image_shape=(h, w), chunk_windows=2,
+                             variables=v1)
+    n_traces_first = len(traces)
+    out2 = infer_video_depth(fwd, frames, image_shape=(h, w), chunk_windows=2,
+                             variables=v2)
+    assert len(traces) == n_traces_first, "second eval retraced the pipeline"
+    # out = base*s + t, so out2 must reflect v2, not v1
+    base = (out1 - 0.1) / 0.5
+    np.testing.assert_allclose(out2, base * 0.25 + 0.3, rtol=1e-4, atol=1e-5)
