@@ -1,0 +1,456 @@
+"""Bilinear warp + forward splat as one-hot MXU matmuls (Pallas).
+
+The reference's training losses are built on `F.grid_sample` warps and a
+`scatter_add_` forward splat (trainer_end_to_end_video.py:861,
+utils/layers.py:406-426,552-605).  XLA lowers the obvious
+gather/scatter formulations to ~7 ns-per-index serial HBM loops — 91%
+of the whole train step (PERFORMANCE.md round-2 profile).  TPUs have no
+fast gather, but they have an enormous matmul unit, and a bilinear
+sample is a *separable one-hot contraction*:
+
+    out[p, c] = sum_h sum_w OHY[p, h] * img[h, w, c] * OHX[p, w]
+
+where OHY[p, :] holds the two y-corner lerp weights at the (clipped)
+corner rows and OHX likewise for x.  The kernels compute in a fully
+TRANSPOSED [space, pixels] orientation so every tensor is row-native
+(pixel index on lanes):
+
+    stage 1 (MXU):  Rt = dot(img [H, W*C], OHYt [H, Pb]) -> [W*C, Pb]
+                    (contracting the H sublanes of both operands)
+    stage 2 (VPU):  out[c, p] = sum_sublanes Rt * OHXt * (l%C == c)
+
+with the one-hots built in-register from broadcasted_iota comparisons —
+they never exist in memory.  Per output pixel this costs H MACs on the
+MXU instead of 4 serial gathers, and — the real win — the **backward is
+just the transposed matmul**: d_img = dot(OHYt, dRt contracting Pb) and
+the coordinate gradients are two more one-hot matmuls, replacing XLA's
+even-slower scatter chains.
+
+Data-layout notes (learned the hard way on real hardware):
+  * Corner indices/weights travel as ONE packed f32 array [B, 8, Ppad]
+    (rows: y0,y1,wy0,wy1,x0,x1,wx0,wx1).  A [B, P, 1] layout is
+    128x-padded by TPU (8,128) tiling (observed 5 MB -> 640 MB HLO
+    temps) and a [B, P] block (1, pb) violates Mosaic's block-shape
+    rule; the packed 8-sublane form has zero padding waste and
+    satisfies "block == array dims".  Indices live as exact f32
+    (H, W < 2^24) and compare against f32 iota in-kernel.
+  * Each kernel's blocks are constant over the pixel-chunk grid axis,
+    so coords/img stay resident in VMEM across chunks; the chunk slice
+    is an in-kernel dynamic lane slice at 128-aligned offsets.
+
+The forward splat (occupancy map) is the transpose of the same
+structure: occ += dot(At [H, Pc], Bt [W, Pc] contracting Pc) with
+At/Bt the per-axis corner-weight one-hots.
+
+Exactness: the one-hot entries select exact image values; lerp weights
+are applied in f32.  Semantics (border clip, zeros masking,
+align_corners) are inherited from the caller, which passes fractional
+source coordinates — this module reproduces ops/sampling.py's
+(torch-parity-tested) math bit-for-bit up to f32 summation order.
+Out-of-range pixel padding is weight-zero padding in the wrapper:
+padded pixels contribute nothing to any accumulated output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["grid_sample_mm", "splat_mm"]
+
+
+def _split_bf16(x):
+    """f32 -> (hi, lo) with hi = bf16-rounded, lo = exact residual."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _dot3(a, b, dims):
+    """Compensated f32 contraction on the bf16 MXU (3 passes).
+
+    Mosaic's DEFAULT dot truncates f32 operands to bf16 — measured
+    1.2e-2 absolute error on the splat occupancy, which flips the
+    reference's hard (occ > 0.95) mask pixels and perturbs training
+    gradients (round-3 device A/B).  XLA's fix is `Precision.HIGH`
+    (3-pass bf16 emulation), but Mosaic's lowering rejects HIGH and its
+    HIGHEST (6-pass) tripled the whole train step.  So the split is done
+    by hand: a = ah + al, b = bh + bl exactly; ah@bh + ah@bl + al@bh
+    drops only the al@bl term (~2^-18 relative) plus bf16 truncation of
+    the residuals (~2^-17) — measured 1e-6-level occupancy agreement
+    with the exact XLA scatter and zero threshold flips, at half the
+    cost of HIGHEST."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _dot2_onehot(a, oh, dims):
+    """Contraction where the SECOND operand is a pure 0/1 indicator
+    (bf16-exact): only `a` needs hi/lo splitting — 2 passes, ~2^-17."""
+    ah, al = _split_bf16(a)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return d(ah, oh) + d(al, oh)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _corners(f, size, zeros_mode):
+    """Fractional coord -> (i0, i1 clipped, w0, w1), all f32.
+
+    Matches ops/sampling.py:grid_sample: indices clipped to the image,
+    weights multiplied by the inside mask in zeros mode.
+    """
+    f0 = jnp.floor(f)
+    w1 = (f - f0).astype(jnp.float32)
+    w0 = 1.0 - w1
+    i1 = f0 + 1.0
+    if zeros_mode:
+        w0 = w0 * ((f0 >= 0) & (f0 <= size - 1))
+        w1 = w1 * ((i1 >= 0) & (i1 <= size - 1))
+    return jnp.clip(f0, 0, size - 1), jnp.clip(i1, 0, size - 1), w0, w1
+
+
+def _pack_coords(fx, fy, H, W, zeros_mode, pb):
+    """-> packed [B, 8, Ppad] f32 (y0,y1,wy0,wy1,x0,x1,wx0,wx1), p, ppad."""
+    b = fx.shape[0]
+    p = 1
+    for s in fx.shape[1:]:
+        p *= s
+    fx = fx.reshape(b, p).astype(jnp.float32)
+    fy = fy.reshape(b, p).astype(jnp.float32)
+    x0, x1, wx0, wx1 = _corners(fx, W, zeros_mode)
+    y0, y1, wy0, wy1 = _corners(fy, H, zeros_mode)
+    packed = jnp.stack([y0, y1, wy0, wy1, x0, x1, wx0, wx1], axis=1)
+    pad = _round_up(p, pb) - p
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
+    return packed, p, p + pad
+
+
+def _read_coords(c_ref, start, pb):
+    """Slice the 8 packed coordinate rows for one pixel chunk: 8x [1, pb]."""
+    return [c_ref[0, r:r + 1, pl.ds(start, pb)] for r in range(8)]
+
+
+def _ohyt(y0, y1, wy0, wy1, h, pb):
+    """Weighted y one-hot, built transposed [H, Pb] from [1, Pb] rows.
+    (int32 iota + int compare: Mosaic has no float iota.)"""
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0)
+    return (wy0 * (ioh == y0.astype(jnp.int32))
+            + wy1 * (ioh == y1.astype(jnp.int32)))
+
+
+def _ohxt(x0, x1, wx0, wx1, wc, pb, C):
+    """Weighted x one-hot on the [W*C, Pb] grid (sublane l -> w = l//C)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+    sub_w = sub // C if C > 1 else sub
+    return (wx0 * (sub_w == x0.astype(jnp.int32))
+            + wx1 * (sub_w == x1.astype(jnp.int32)))
+
+
+def _chan_mask(wc, pb, C, c):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+    return (sub - (sub // C) * C) == c
+
+
+# ---------------------------------------------------------------- forward
+
+def _fwd_kernel(c_ref, img_ref, o_ref, *, C: int, pb: int):
+    start = pl.program_id(1) * pb
+    y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
+    img = img_ref[0]
+    H, WC = img.shape
+    if img.dtype != jnp.float32:
+        img = img.astype(jnp.float32)
+
+    ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
+    rt = _dot3(img, ohyt, ((0,), (0,)))  # [WC, pb]
+    t = rt * _ohxt(x0, x1, wx0, wx1, WC, pb, C)
+    if C == 1:
+        out = jnp.sum(t, axis=0, keepdims=True)
+    else:
+        out = jnp.concatenate(
+            [jnp.sum(t * _chan_mask(WC, pb, C, c), axis=0, keepdims=True)
+             for c in range(C)], axis=0)
+    o_ref[0, :, pl.ds(start, pb)] = out
+
+
+# --------------------------------------------------------------- backward
+
+def _g_t(g, wc, pb, C):
+    """Expand gᵀ [C, Pb] onto the [W*C, Pb] grid: G[l, p] = g[l % C, p]."""
+    if C == 1:
+        return jnp.broadcast_to(g[0:1, :].astype(jnp.float32), (wc, pb))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+    sub_c = sub - (sub // C) * C
+    acc = None
+    for c in range(C):
+        term = g[c:c + 1, :].astype(jnp.float32) * (sub_c == c)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _bwd_coord_kernel(c_ref, img_ref, g_ref, dw_ref, *, C: int, pb: int):
+    """d(out)/d(lerp weights) -> packed [1, 4, Ppad] rows
+    (dwy0, dwy1, dwx0, dwx1); two 0/1 one-hot matmuls recover the
+    per-corner row samples, the rest is elementwise + sublane reduces."""
+    start = pl.program_id(1) * pb
+    y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
+    img = img_ref[0]
+    H, WC = img.shape
+    if img.dtype != jnp.float32:
+        img = img.astype(jnp.float32)
+
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (H, pb), 0)
+    oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
+    oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
+    r0 = _dot2_onehot(img, oh0, ((0,), (0,)))  # [WC, pb]
+    r1 = _dot2_onehot(img, oh1, ((0,), (0,)))
+    rt = wy0 * r0 + wy1 * r1
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (WC, pb), 0)
+    sub_w = sub // C if C > 1 else sub
+    m0 = (sub_w == x0.astype(jnp.int32)).astype(jnp.float32)
+    m1 = (sub_w == x1.astype(jnp.int32)).astype(jnp.float32)
+
+    g = _g_t(g_ref[0, :, pl.ds(start, pb)], WC, pb, C)
+    dr = g * (wx0 * m0 + wx1 * m1)
+    gr = g * rt
+    out = jnp.concatenate([
+        jnp.sum(dr * r0, axis=0, keepdims=True),
+        jnp.sum(dr * r1, axis=0, keepdims=True),
+        jnp.sum(gr * m0, axis=0, keepdims=True),
+        jnp.sum(gr * m1, axis=0, keepdims=True),
+    ], axis=0)
+    dw_ref[0, :, pl.ds(start, pb)] = out
+
+
+def _bwd_img_kernel(c_ref, g_ref, dimg_ref, *, C: int, pb: int):
+    """d_img = dot(OHYt [H, Pb], dRt [WC, Pb] contracting Pb) -> [H, WC],
+    accumulated over pixel chunks."""
+    start = pl.program_id(1) * pb
+    y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
+    H, WC = dimg_ref.shape[1], dimg_ref.shape[2]
+
+    dr = (_g_t(g_ref[0, :, pl.ds(start, pb)], WC, pb, C)
+          * _ohxt(x0, x1, wx0, wx1, WC, pb, C))
+    ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
+    upd = _dot3(ohyt, dr, ((1,), (1,)))  # [H, WC]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dimg_ref[0] = upd.astype(dimg_ref.dtype)
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        dimg_ref[0] += upd.astype(dimg_ref.dtype)
+
+
+# ---------------------------------------------------------------- wrapper
+
+def _pick_pb(C, backward=False):
+    if C <= 2:
+        return 512
+    return 128 if backward else 256  # bwd holds ~9 [WC, pb] f32 temps
+
+
+def _cspec(ppad):
+    return pl.BlockSpec((1, 8, ppad), lambda bi, pi: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def grid_sample_mm(img, fx, fy, zeros_mode: bool = False,
+                   align_corners: bool = True):
+    """Bilinear sample img[B,H,W,C] at fractional pixel coords fx, fy
+    [B, Ho, Wo] (already unnormalized).  align_corners is carried only so
+    the vjp can recompute identically; coords are already resolved."""
+    return _mm_forward(img, fx, fy, zeros_mode)
+
+
+def _mm_forward(img, fx, fy, zeros_mode):
+    b, h, w, c = img.shape
+    out_sp = fx.shape[1:]
+    pb = _pick_pb(c)
+    packed, p, ppad = _pack_coords(fx, fy, h, w, zeros_mode, pb)
+    imgf = img.reshape(b, h, w * c)
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, C=c, pb=pb),
+        out_shape=jax.ShapeDtypeStruct((b, c, ppad), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(b, ppad // pb),
+            in_specs=[
+                _cspec(ppad),
+                pl.BlockSpec((1, h, w * c), lambda bi, pi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c, ppad), lambda bi, pi: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(packed, imgf)
+    # [B, C, Ppad] -> [B, *out_sp, C]
+    return jnp.moveaxis(out[:, :, :p], 1, 2).reshape(b, *out_sp, c)
+
+
+def _mm_fwd(img, fx, fy, zeros_mode, align_corners):
+    return _mm_forward(img, fx, fy, zeros_mode), (img, fx, fy)
+
+
+def _mm_bwd(zeros_mode, align_corners, res, g):
+    img, fx, fy = res
+    b, h, w, c = img.shape
+    pb = _pick_pb(c, backward=True)
+    packed, p, ppad = _pack_coords(fx, fy, h, w, zeros_mode, pb)
+    imgf = img.reshape(b, h, w * c)
+    gt = jnp.moveaxis(g.reshape(b, p, c).astype(jnp.float32), 2, 1)  # [B, C, P]
+    if ppad != p:
+        gt = jnp.pad(gt, ((0, 0), (0, 0), (0, ppad - p)))
+
+    grid = (b, ppad // pb)
+    gspec = pl.BlockSpec((1, c, ppad), lambda bi, pi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    # coordinate-weight grads (skipped by XLA DCE when the grid needs no
+    # grad): packed rows (dwy0, dwy1, dwx0, dwx1)
+    dw = pl.pallas_call(
+        functools.partial(_bwd_coord_kernel, C=c, pb=pb),
+        out_shape=jax.ShapeDtypeStruct((b, 4, ppad), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                _cspec(ppad),
+                pl.BlockSpec((1, h, w * c), lambda bi, pi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                gspec,
+            ],
+            out_specs=pl.BlockSpec((1, 4, ppad), lambda bi, pi: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(packed, imgf, gt)
+
+    # image grad (skipped by XLA DCE when img is input data)
+    dimg = pl.pallas_call(
+        functools.partial(_bwd_img_kernel, C=c, pb=pb),
+        out_shape=jax.ShapeDtypeStruct((b, h, w * c), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[_cspec(ppad), gspec],
+            out_specs=pl.BlockSpec((1, h, w * c), lambda bi, pi: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(packed, gt)
+
+    out_sp = fx.shape
+    dwy0, dwy1, dwx0, dwx1 = (dw[:, i, :p] for i in range(4))
+    # w1 = frac(f) * v1, w0 = (1 - frac(f)) * v0 with v the zeros-mode
+    # inside masks (v == 1 in border mode)  =>  d_f = d_w1*v1 - d_w0*v0
+    if zeros_mode:
+        def _valid(f, size):
+            f0 = jnp.floor(f.reshape(b, p).astype(jnp.float32))
+            v0 = ((f0 >= 0) & (f0 <= size - 1)).astype(jnp.float32)
+            v1 = ((f0 + 1 >= 0) & (f0 + 1 <= size - 1)).astype(jnp.float32)
+            return v0, v1
+
+        vx0, vx1 = _valid(fx, w)
+        vy0, vy1 = _valid(fy, h)
+        d_fx = (dwx1 * vx1 - dwx0 * vx0).reshape(out_sp)
+        d_fy = (dwy1 * vy1 - dwy0 * vy0).reshape(out_sp)
+    else:
+        d_fx = (dwx1 - dwx0).reshape(out_sp)
+        d_fy = (dwy1 - dwy0).reshape(out_sp)
+    d_fx = d_fx.astype(fx.dtype)  # cotangents must match primal dtypes
+    d_fy = d_fy.astype(fy.dtype)
+    return dimg.reshape(img.shape).astype(img.dtype), d_fx, d_fy
+
+
+grid_sample_mm.defvjp(_mm_fwd, _mm_bwd)
+
+
+# ------------------------------------------------------------------ splat
+
+def _splat_kernel(c_ref, occ_ref, *, H: int, W: int, pb: int):
+    """occ += dot(At [H, Pc], Bt [W, Pc] contracting Pc): At one-hot over
+    target rows, Bt over target cols, each carrying its axis' weights."""
+    start = pl.program_id(1) * pb
+    y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
+    at = _ohyt(y0, y1, wy0, wy1, H, pb)
+    iow = jax.lax.broadcasted_iota(jnp.int32, (W, pb), 0)
+    bt = (wx0 * (iow == x0.astype(jnp.int32))
+          + wx1 * (iow == x1.astype(jnp.int32)))  # [W, pb]
+    upd = _dot3(at, bt, ((1,), (1,)))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        occ_ref[0] = upd
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        occ_ref[0] += upd
+
+
+def _splat_corners(f, size):
+    """Corner indices/weights with the reference splat's conventions
+    (ops/sampling.py:forward_splat_occupancy / utils/layers.py:552-605):
+    weight (1 - |f - clipped corner|) * (corner unclipped), where
+    'floor' = floor(f) and 'ceil' = floor(f) + 1."""
+    f1 = jnp.floor(f)          # floor corner
+    f0 = f1 + 1.0              # ceil corner
+    cf = jnp.clip(f1, 0, size - 1)
+    cc = jnp.clip(f0, 0, size - 1)
+    wf = (1.0 - jnp.abs(f - cf)) * (f1 == cf)
+    wc = (1.0 - jnp.abs(f - cc)) * (f0 == cc)
+    return cf, cc, wf.astype(jnp.float32), wc.astype(jnp.float32)
+
+
+def splat_mm(x, y, height: int, width: int):
+    """Forward-splat unit bilinear mass at pixel coords x, y [B, P].
+    Returns the occupancy map [B, height, width] (f32)."""
+    b, p = x.shape
+    pb = 512
+    pad = _round_up(p, pb) - p
+    x0, x1, wx0, wx1 = _splat_corners(x.astype(jnp.float32), width)
+    y0, y1, wy0, wy1 = _splat_corners(y.astype(jnp.float32), height)
+    packed = jnp.stack([y0, y1, wy0, wy1, x0, x1, wx0, wx1], axis=1)
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
+    ppad = p + pad
+
+    occ = pl.pallas_call(
+        functools.partial(_splat_kernel, H=height, W=width, pb=pb),
+        out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(b, ppad // pb),
+            in_specs=[_cspec(ppad)],
+            out_specs=pl.BlockSpec((1, height, width), lambda bi, pi: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(packed)
+    return occ

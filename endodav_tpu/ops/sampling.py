@@ -14,6 +14,10 @@ like `torch.nn.functional.grid_sample`.
 
 from __future__ import annotations
 
+import functools
+import os
+
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -32,6 +36,19 @@ def _gather_hw(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarra
     idx = (iy * w + ix).reshape(b, -1)
     out = jnp.take_along_axis(flat, idx[..., None], axis=1)
     return out.reshape(b, *ix.shape[1:], c)
+
+
+def _use_mm_kernel(h: int, w: int, c: int) -> bool:
+    """Route to the one-hot-matmul Pallas kernels (kernels/warp_matmul.py)
+    on TPU when the whole image fits a VMEM block.  XLA's TPU gather runs
+    at ~7 ns/index and its scatter is worse (see the performance note
+    below); the matmul formulation moves both onto the MXU.
+    ENDODAV_NO_WARP_MM=1 forces the XLA gather/scatter paths."""
+    if os.environ.get("ENDODAV_NO_WARP_MM"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return c <= 4 and h >= 8 and w >= 8 and h * w * c * 4 <= 4 * 1024 * 1024
 
 
 def grid_sample(
@@ -68,6 +85,13 @@ def grid_sample(
     else:
         fx = ((gx + 1.0) * w - 1.0) * 0.5
         fy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    if _use_mm_kernel(h, w, c):
+        from endodav_tpu.kernels.warp_matmul import grid_sample_mm
+
+        src = img.astype(jnp.float32) if integer_img else img
+        out = grid_sample_mm(src, fx, fy, padding_mode == "zeros", align_corners)
+        return out if integer_img else out.astype(img.dtype)
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -114,7 +138,18 @@ def forward_splat_occupancy(coords_xy: jnp.ndarray, height: int, width: int) -> 
     occupancy map [B, H, W, 1] — how much source mass lands on each target
     pixel.  Mirrors `get_corresponding_map` (utils/layers.py:552-605)
     including its exact corner-weight and out-of-range conventions.
+
+    On TPU the forward routes to the accumulating one-hot-matmul kernel
+    (kernels/warp_matmul.py:splat_mm — XLA's scatter-add is the slowest
+    op class on TPU); the backward, if ever needed, recomputes through
+    this XLA formulation's autodiff.
     """
+    if _use_mm_kernel(height, width, 1):
+        return _splat_fast(coords_xy, height, width)
+    return _splat_xla(coords_xy, height, width)
+
+
+def _splat_xla(coords_xy: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     b = coords_xy.shape[0]
     x = coords_xy[..., 0].reshape(b, -1)
     y = coords_xy[..., 1].reshape(b, -1)
@@ -148,6 +183,29 @@ def forward_splat_occupancy(coords_xy: jnp.ndarray, height: int, width: int) -> 
         idx = (cy * width + cx).astype(jnp.int32)
         out = out.at[batch_idx, idx].add(val)
     return out.reshape(b, height, width, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _splat_fast(coords_xy, height, width):
+    from endodav_tpu.kernels.warp_matmul import splat_mm
+
+    b = coords_xy.shape[0]
+    x = coords_xy[..., 0].reshape(b, -1)
+    y = coords_xy[..., 1].reshape(b, -1)
+    occ = splat_mm(x, y, height, width)
+    return occ.reshape(b, height, width, 1).astype(coords_xy.dtype)
+
+
+def _splat_fast_fwd(coords_xy, height, width):
+    return _splat_fast(coords_xy, height, width), coords_xy
+
+
+def _splat_fast_bwd(height, width, coords_xy, g):
+    _, vjp = jax.vjp(lambda c: _splat_xla(c, height, width), coords_xy)
+    return vjp(g)
+
+
+_splat_fast.defvjp(_splat_fast_fwd, _splat_fast_bwd)
 
 
 def occlusion_mask_backward(flow_reverse: jnp.ndarray, th: float = 0.95):

@@ -1,0 +1,141 @@
+"""One-hot-matmul warp kernels vs the XLA gather/scatter oracles.
+
+The oracles (ops/sampling.py gather grid_sample and scatter splat) are
+themselves torch-parity-tested in test_ops.py, so matching them in
+interpret mode transfers that parity to the Pallas kernels — forward
+AND gradients (the kernels' custom_vjp backward is hand-written
+transposed matmuls, exactly what these tests must pin down).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from endodav_tpu.ops import sampling
+
+RNG = np.random.default_rng(31)
+
+
+def _coords(b, ho, wo, h, w, spread=1.4):
+    """Normalized grid spanning out-of-range on purpose."""
+    g = RNG.uniform(-spread, spread, (b, ho, wo, 2)).astype(np.float32)
+    return jnp.asarray(g)
+
+
+def _frac(grid, h, w, align_corners):
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        return (gx + 1.0) * 0.5 * (w - 1), (gy + 1.0) * 0.5 * (h - 1)
+    return ((gx + 1.0) * w - 1.0) * 0.5, ((gy + 1.0) * h - 1.0) * 0.5
+
+
+@pytest.mark.parametrize("c", [1, 2, 3])
+@pytest.mark.parametrize("zeros,ac", [(False, True), (True, True), (False, False)])
+def test_grid_sample_mm_matches_gather(c, zeros, ac):
+    from endodav_tpu.kernels.warp_matmul import grid_sample_mm
+
+    b, h, w = 2, 24, 40
+    ho, wo = 16, 33  # non-multiple of the block to exercise padding
+    img = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+    grid = _coords(b, ho, wo, h, w)
+    mode = "zeros" if zeros else "border"
+    want = sampling.grid_sample(img, grid, padding_mode=mode, align_corners=ac)
+    fx, fy = _frac(grid, h, w, ac)
+    with pltpu.force_tpu_interpret_mode():
+        got = grid_sample_mm(img, fx, fy, zeros, ac)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("c", [1, 3])
+@pytest.mark.parametrize("zeros", [False, True])
+def test_grid_sample_mm_grads_match(c, zeros):
+    from endodav_tpu.kernels.warp_matmul import grid_sample_mm
+
+    b, h, w = 1, 16, 24
+    ho, wo = 9, 13
+    img = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+    grid = _coords(b, ho, wo, h, w)
+    mode = "zeros" if zeros else "border"
+    wgt = jnp.asarray(RNG.standard_normal((b, ho, wo, c)).astype(np.float32))
+
+    def loss_ref(img, grid):
+        return (sampling.grid_sample(img, grid, padding_mode=mode,
+                                     align_corners=True) * wgt).sum()
+
+    def loss_ker(img, grid):
+        fx, fy = _frac(grid, h, w, True)
+        return (grid_sample_mm(img, fx, fy, zeros, True) * wgt).sum()
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(img, grid)
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_ker, argnums=(0, 1))(img, grid)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_grid_sample_mm_integer_coords_exact():
+    """Identity grid must reproduce the image exactly (weights 1/0)."""
+    from endodav_tpu.kernels.warp_matmul import grid_sample_mm
+
+    b, h, w, c = 1, 12, 16, 3
+    img = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    fx = jnp.broadcast_to(xx[None], (b, h, w))
+    fy = jnp.broadcast_to(yy[None], (b, h, w))
+    with pltpu.force_tpu_interpret_mode():
+        got = grid_sample_mm(img, fx, fy, False, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(img))
+
+
+def test_splat_mm_matches_scatter():
+    from endodav_tpu.kernels.warp_matmul import splat_mm
+
+    b, h, w = 2, 20, 28
+    coords = jnp.asarray(
+        np.stack([RNG.uniform(-3, w + 2, (b, h, w)),
+                  RNG.uniform(-3, h + 2, (b, h, w))], axis=-1).astype(np.float32))
+    want = sampling._splat_xla(coords, h, w)
+    x = coords[..., 0].reshape(b, -1)
+    y = coords[..., 1].reshape(b, -1)
+    with pltpu.force_tpu_interpret_mode():
+        got = splat_mm(x, y, h, w)
+    np.testing.assert_allclose(np.asarray(got).reshape(b, h, w, 1),
+                               np.asarray(want), atol=1e-4, rtol=1e-5)
+
+
+def test_splat_fast_backward_matches_xla():
+    b, h, w = 1, 12, 16
+    coords = jnp.asarray(
+        np.stack([RNG.uniform(0, w - 1, (b, h, w)),
+                  RNG.uniform(0, h - 1, (b, h, w))], axis=-1).astype(np.float32))
+    wgt = jnp.asarray(RNG.standard_normal((b, h, w, 1)).astype(np.float32))
+
+    def loss_ref(c):
+        return (sampling._splat_xla(c, h, w) * wgt).sum()
+
+    def loss_ker(c):
+        return (sampling._splat_fast(c, h, w) * wgt).sum()
+
+    gr = jax.grad(loss_ref)(coords)
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_ker)(coords)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4, rtol=1e-4)
+
+
+def test_dispatch_env_override(monkeypatch):
+    monkeypatch.setenv("ENDODAV_NO_WARP_MM", "1")
+    assert not sampling._use_mm_kernel(256, 320, 3)
+    monkeypatch.delenv("ENDODAV_NO_WARP_MM")
+    expect = jax.default_backend() == "tpu"
+    assert sampling._use_mm_kernel(256, 320, 3) == expect
+    # over-VMEM image must fall back regardless of backend
+    assert not sampling._use_mm_kernel(2048, 2048, 3)

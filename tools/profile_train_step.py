@@ -1,0 +1,94 @@
+"""Device-side ground-truth profile of the full two-phase train step.
+
+Reuses bench_train_ablation's reference config (B=1, T=16, 256x320,
+vits @ 224x280, dvlora, bf16) and reports per-op-category device totals
+— the trustworthy timing path in this environment (PERFORMANCE.md).
+
+Run: python tools/profile_train_step.py [--steps 2]
+Env: ENDODAV_NO_WARP_MM=1 to profile the XLA gather/scatter warps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from tools.bench_train_ablation import Opts, make_batches  # noqa: E402
+from tools.profile_device import device_profile  # noqa: E402
+
+
+CATEGORIES = (
+    ("gather", ("gather",)),
+    ("scatter", ("scatter",)),
+    ("conv", ("conv",)),
+    ("matmul/dot", ("dot", "fusion.matmul")),
+    ("pallas", ("warp", "splat", "attn", "fused", "pl_")),
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from endodav_tpu.train.trainer import Trainer, _flatten_bt
+
+    opt = Opts()
+    opt.log_dir = tempfile.mkdtemp()
+    tr = Trainer(opt)
+    rng = np.random.default_rng(0)
+    host_batches = make_batches(opt, args.steps + 1, rng)
+    dev_batches = [jax.device_put(_flatten_bt(b)) for b in host_batches]
+    jax.block_until_ready(dev_batches)
+
+    step_fn = tr._step_fn if hasattr(tr, "_step_fn") else tr._build_step(False)
+    state = [tr.variables, tr.opt_state, tr.opt_state_0]
+
+    def one(batch):
+        v, s1, s0, scalars, _ = step_fn(
+            state[0], state[1], state[2], dict(batch),
+            jnp.asarray(0), jnp.asarray(1e-4), jnp.asarray(1e-4))
+        state[0], state[1], state[2] = v, s1, s0
+        return scalars["loss_0"]
+
+    print("compiling/warmup...", flush=True)
+    jax.block_until_ready(one(dev_batches[0]))
+
+    def run():
+        outs = [one(b) for b in dev_batches[1:]]
+        return outs
+
+    rows = device_profile(run, top=60)
+    total = sum(ms for name, n, ms in rows
+                if not name.startswith("jit_") and not name.isdigit())
+    print(f"\ndevice total over {args.steps} steps: {total:.0f} ms "
+          f"({total/args.steps:.0f} ms/step)")
+    cat_sum = {}
+    for name, n, ms in rows:
+        if name.startswith("jit_") or name.isdigit():
+            continue
+        low = name.lower()
+        for cat, keys in CATEGORIES:
+            if any(k in low for k in keys):
+                cat_sum[cat] = cat_sum.get(cat, 0.0) + ms
+                break
+        else:
+            cat_sum["other"] = cat_sum.get("other", 0.0) + ms
+    for cat, ms in sorted(cat_sum.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:12s} {ms/args.steps:8.0f} ms/step  ({100*ms/total:.0f}%)")
+    print("\ntop ops:")
+    for name, n, ms in rows[:25]:
+        if not name.startswith("jit_") and not name.isdigit():
+            print(f"  {name[:70]:70s} n={n:5d} {ms/args.steps:8.1f} ms/step")
+
+
+if __name__ == "__main__":
+    main()
