@@ -50,17 +50,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
 
     for hh in range(heads):
         sl = slice(hh * dh, (hh + 1) * dh)
+        # scale folded into q (dh-wide multiply, not N^2) and softmax
+        # normalization deferred to after P@V (dh-wide divide, not N^2)
+        # — the N^2 f32 VPU chain is the kernel's measured bottleneck
+        # (PERFORMANCE.md "Kernels": lane-pad experiment).
+        qh = (q[:, sl].astype(jnp.float32) * scale).astype(q.dtype)
         s = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            qh, k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         if n_valid != n_pad:
             s = jnp.where(col < n_valid, s, _MASK_VALUE)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
+        denom = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot(p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
 
 
 def _round_up(x, m):
