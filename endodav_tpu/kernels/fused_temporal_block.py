@@ -43,7 +43,10 @@ def default_rows(c: int) -> int:
     """Rows-per-grid-cell, from the chained-timing v5e sweep
     (tools/bench_temporal_kernel.py): C=192 -> 16 (82 us vs ~1000 us at
     r32/r64 — larger blocks spill), C=384 -> 16/32 within noise (r64
-    exceeds VMEM), C=64 -> r32/r64 within noise."""
+    exceeds VMEM), C=64 -> r32/r64 within noise.  C>=512 routes to the
+    head-grouped kernel whose VMEM budget wants small row blocks."""
+    if c >= 512:
+        return 8
     return 16 if c >= 128 else 32
 
 
@@ -112,6 +115,68 @@ def _kernel(x_ref, gamma_ref, beta_ref, pe_ref, wq_ref, wk_ref, wv_ref,
     o_ref[:] = (x + out.reshape(r, t, c)).astype(o_ref.dtype)
 
 
+def _grouped_kernel(x_ref, gamma_ref, beta_ref, pe_ref, wq_ref, wk_ref,
+                    wv_ref, wo_ref, bo_ref, o_ref, y_s, acc_s, *,
+                    heads_g: int, groups: int):
+    """Head-grouped variant for wide channels (vitl C=1024): the four
+    C x C weight panels alone would blow VMEM, so the grid gains an
+    inner 'arbitrary' axis over head groups whose BlockSpecs slice
+    wq/wk/wv to [C, C/G] and wo to [C/G, C].  LN(x)+pe is computed once
+    (group 0) into a VMEM scratch; the out-projection partial sums
+    accumulate in an f32 scratch and flush (+x +bo) at the last group —
+    so precision matches the ungrouped kernel's single f32 GEMM."""
+    r, t, c = x_ref.shape
+    cg = wq_ref.shape[1]
+    dh = cg // heads_g
+    scale = dh ** -0.5
+    g_idx = pl.program_id(1)
+
+    @pl.when(g_idx == 0)
+    def _ln():
+        x = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma_ref[:] + beta_ref[:]
+        y_s[:] = (y + pe_ref[:]).astype(y_s.dtype)
+
+    y2 = y_s[:].reshape(r * t, c)
+    q = jnp.dot(y2, wq_ref[:], preferred_element_type=jnp.float32).reshape(r, t, cg)
+    k = jnp.dot(y2, wk_ref[:], preferred_element_type=jnp.float32).reshape(r, t, cg)
+    v = jnp.dot(y2, wv_ref[:], preferred_element_type=jnp.float32).reshape(r, t, cg)
+
+    outs = []
+    for h in range(heads_g):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [R, T, T]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    att = jnp.concatenate(outs, axis=-1).reshape(r * t, cg)
+    upd = jnp.dot(att.astype(x_ref.dtype), wo_ref[:],
+                  preferred_element_type=jnp.float32).reshape(r, t, c)
+
+    @pl.when(g_idx == 0)
+    def _init():
+        acc_s[:] = upd
+
+    @pl.when(g_idx != 0)
+    def _acc():
+        acc_s[:] += upd
+
+    @pl.when(g_idx == groups - 1)
+    def _flush():
+        o_ref[:] = (x_ref[:].astype(jnp.float32) + acc_s[:] + bo_ref[:]
+                    ).astype(o_ref.dtype)
+
+
 def _forward(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows):
     bstar, t, c = x.shape
     pad = (-bstar) % rows
@@ -136,16 +201,59 @@ def _forward(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows):
     return out[:bstar]
 
 
+def _forward_grouped(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows):
+    """Wide-channel path: grid (row blocks, head groups), weight panels
+    sliced per group so each grid step's VMEM stays bounded."""
+    bstar, t, c = x.shape
+    groups = max(1, c // 256)
+    while heads % groups:
+        groups //= 2
+    heads_g = heads // groups
+    cg = c // groups
+    pad = (-bstar) % rows
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    n_blocks = (bstar + pad) // rows
+
+    xspec = pl.BlockSpec((rows, t, c), lambda i, g: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vec = lambda shape: pl.BlockSpec(shape, lambda i, g: tuple(0 for _ in shape),
+                                     memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((c, cg), lambda i, g: (0, g), memory_space=pltpu.VMEM)
+    wo_spec = pl.BlockSpec((cg, c), lambda i, g: (g, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_grouped_kernel, heads_g=heads_g, groups=groups),
+        out_shape=jax.ShapeDtypeStruct((bstar + pad, t, c), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(n_blocks, groups),
+            in_specs=[xspec, vec((c,)), vec((c,)), vec((t, c)), qkv_spec,
+                      qkv_spec, qkv_spec, wo_spec, vec((c,))],
+            out_specs=xspec,
+            scratch_shapes=[
+                pltpu.VMEM((rows, t, c), x.dtype),
+                pltpu.VMEM((rows, t, c), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x, gamma, beta, pe, wq, wk, wv, wo, bo)
+    return out[:bstar]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def fused_temporal_block(x, gamma, beta, pe, wq, wk, wv, wo, bo,
                          heads: int = 8, rows: int = 32):
     """x: [B*, T, C]; LN params gamma/beta [C]; pe [T, C]; projections
-    wq/wk/wv/wo [C, C]; bo [C].  Returns x + Attn(LN(x)+pe) Wo + bo."""
-    return _forward(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows)
+    wq/wk/wv/wo [C, C]; bo [C].  Returns x + Attn(LN(x)+pe) Wo + bo.
+    C >= 512 routes to the head-grouped kernel (vitl widths)."""
+    fwd = _forward_grouped if x.shape[-1] >= 512 else _forward
+    return fwd(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows)
 
 
 def _fwd(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows):
-    out = _forward(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows)
+    fwd = _forward_grouped if x.shape[-1] >= 512 else _forward
+    out = fwd(x, gamma, beta, pe, wq, wk, wv, wo, bo, heads, rows)
     return out, (x, gamma, beta, pe, wq, wk, wv, wo, bo)
 
 

@@ -93,8 +93,10 @@ def test_temporal_attention_backward_matches_xla():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(gref[2]), atol=1e-4)
 
 
-@pytest.mark.parametrize("c,heads,bstar", [(64, 8, 40), (192, 8, 24)])
+@pytest.mark.parametrize("c,heads,bstar", [(64, 8, 40), (192, 8, 24),
+                                           (512, 8, 12)])
 def test_fused_temporal_block_matches_xla(c, heads, bstar):
+    # c=512 exercises the head-grouped wide-channel path (vitl widths)
     from jax.experimental.pallas import tpu as pltpu
 
     from endodav_tpu.kernels.fused_temporal_block import (
@@ -112,8 +114,11 @@ def test_fused_temporal_block_matches_xla(c, heads, bstar):
     with pltpu.force_tpu_interpret_mode():
         got = fused_temporal_block(x, gamma, beta, pe, wq, wk, wv, wo, bo,
                                    heads, 16)
+    # the grouped path splits the out-projection contraction across head
+    # groups — pure f32 summation-order noise vs the single-dot oracle
+    atol = 1e-3 if c >= 512 else 1e-4
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=1e-4, rtol=1e-5)
+                               atol=atol, rtol=1e-5)
 
 
 def test_fused_temporal_block_backward_matches_xla():

@@ -33,6 +33,17 @@ SHAPES = [
     ("518 path_3", 6808, 32, 64, 8),
 ]
 
+# vitl motion widths (ENDODAV_CONFIGS["vitl"]: out_channels 1024/1024,
+# features 256); C=1024 routes to the head-grouped kernel.
+VITL_SHAPES = [
+    ("vitl518 layer_3", 1702, 32, 1024, 8),
+    ("vitl518 layer_4", 437, 32, 1024, 8),
+    ("vitl518 path_4", 1702, 32, 256, 8),
+    ("vitl518 path_3", 6808, 32, 256, 8),
+    ("vitl224 layer_3", 320, 32, 1024, 8),
+    ("vitl224 layer_4", 80, 32, 1024, 8),
+]
+
 
 def timeit(fn, x, *rest, iters=20):
     """Chained timing: iteration i+1 consumes iteration i's output, so no
@@ -51,6 +62,7 @@ def main():
     ap.add_argument("--rows", type=int, nargs="+", default=[16, 32, 64, 128])
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--set", default="vits", choices=["vits", "vitl"])
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
@@ -59,7 +71,7 @@ def main():
     print("| shape (B*,T,C) | XLA us | " +
           " | ".join(f"pallas r{r} us" for r in args.rows) + " | best speedup |")
     print("|---|---|" + "---|" * len(args.rows) + "---|")
-    for label, bstar, t, c, heads in SHAPES:
+    for label, bstar, t, c, heads in (VITL_SHAPES if args.set == "vitl" else SHAPES):
         x = jnp.asarray(rng.standard_normal((bstar, t, c)), dtype)
         gamma = jnp.ones((c,), jnp.float32)
         beta = jnp.zeros((c,), jnp.float32)
