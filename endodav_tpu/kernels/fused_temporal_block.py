@@ -39,14 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_temporal_block", "reference_block", "default_rows"]
 
 
-def default_rows(c: int) -> int:
+def default_rows(c: int, bstar: int | None = None) -> int:
     """Rows-per-grid-cell, from the chained-timing v5e sweep
     (tools/bench_temporal_kernel.py): C=192 -> 16 (82 us vs ~1000 us at
     r32/r64 — larger blocks spill), C=384 -> 16/32 within noise (r64
     exceeds VMEM), C=64 -> r32/r64 within noise.  C>=512 routes to the
-    head-grouped kernel whose VMEM budget wants small row blocks."""
+    head-grouped kernel: r16 wins at large row counts (vitl518 layer_3
+    1702 rows: 3.06 vs 3.86 ms), r8 below (layer_4 437 rows: 0.64 vs
+    1.71 ms) — the round-3 vitl sweep."""
     if c >= 512:
-        return 8
+        return 16 if (bstar or 0) >= 1024 else 8
     return 16 if c >= 128 else 32
 
 

@@ -38,15 +38,16 @@ def _use_fused_block(pos_embedding_type: str, dim: int) -> bool:
     Measured on v5e (tools/bench_temporal_kernel.py, bench_fused_e2e.py,
     PERFORMANCE.md): the fused LN+PE+QKV+attention+out-proj+residual
     kernel beats XLA at every vits motion shape (1.2-3.1x chained micro,
-    +13.3% whole-model at 518px).  Gated to dim<=384 — at vitl widths
-    (C=1024) the 4 C*C weight panels alone approach the VMEM budget.
-    ENDODAV_NO_FUSED=1 forces the XLA path (A/B + debugging).
+    +13.3% whole-model at 518px).  vitl widths (C=1024) route to the
+    head-grouped variant (round-3 sweep: 1.7-2.8x at 518px C=1024,
+    7-9x at its C=256 paths).  ENDODAV_NO_FUSED=1 forces the XLA path
+    (A/B + debugging).
     """
     import os
 
     if os.environ.get("ENDODAV_NO_FUSED"):
         return False
-    return jax.default_backend() == "tpu" and pos_embedding_type == "ape" and dim <= 384
+    return jax.default_backend() == "tpu" and pos_embedding_type == "ape"
 
 
 class _DenseParams(nn.Module):
@@ -133,7 +134,7 @@ class TemporalAttention(nn.Module):
             return fused_temporal_block(
                 x, scale.astype(jnp.float32), bias.astype(jnp.float32),
                 pe.astype(jnp.float32), cast(wq), cast(wk), cast(wv),
-                cast(wo), cast(bo), self.num_heads, default_rows(c))
+                cast(wo), cast(bo), self.num_heads, default_rows(c, bstar))
         if self.pos_embedding_type == "ape":
             pe = jnp.asarray(sinusoidal_time_encoding(self.temporal_max_len, self.dim))
             x = x + pe[None, :t].astype(x.dtype)

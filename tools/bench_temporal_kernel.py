@@ -12,7 +12,10 @@ Prints one markdown table; updates nothing.
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
@@ -45,16 +48,27 @@ VITL_SHAPES = [
 ]
 
 
+def _barrier(a):
+    """True completion barrier: a value read cannot return early.
+    block_until_ready through this environment's axon relay returns
+    early on ~100 MB buffers (observed: 26 us 'measurements' of an
+    8 ms computation), so every timing syncs by reading a value."""
+    return float(jnp.sum(a[0, 0]))
+
+
 def timeit(fn, x, *rest, iters=20):
     """Chained timing: iteration i+1 consumes iteration i's output, so no
     runtime/relay layer can coalesce or cache identical executions."""
-    out = fn(x, *rest)
-    jax.block_until_ready(out)
+    _barrier(fn(x, *rest))
     t0 = time.perf_counter()
     for _ in range(iters):
         x = fn(x, *rest)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters * 1e6  # us
+    _barrier(x)
+    dt = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    _barrier(x)  # the barrier's own relay cost, subtracted
+    ovh = time.perf_counter() - t1
+    return max(dt - ovh, 0.0) / iters * 1e6  # us
 
 
 def main():

@@ -1,0 +1,127 @@
+"""vitl 518px serving measurement via split compilation.
+
+Round-2 blocker: whole-model vitl jits exceed the remote-compile
+service's limits (>40 min / dropped connection), at both resolutions and
+with kernels disabled (PERFORMANCE.md "Closed experiments (b)").  This
+tool compiles the model in PIECES — ViT trunk and DPT head as separate
+jits sharing one variables tree — and measures the real end-to-end
+chunk forward as their composition (dispatch gap per extra jit is
+~20 ms through this environment's relay, <2% at vitl chunk times).
+
+Run: python tools/bench_vitl.py [--stage trunk|head|all] [--chunk 1]
+     [--image 518 644] [--reps 3]
+
+Stages can be compiled in separate invocations to stay under the
+compile-service session limits; the persistent XLA cache makes the
+measurement run pick them up warm.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all", choices=["trunk", "head", "all"])
+    ap.add_argument("--chunk", type=int, default=1)
+    ap.add_argument("--image", type=int, nargs=2, default=(518, 644))
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--fused", action="store_true",
+                    help="route motion modules to the fused temporal kernel")
+    args = ap.parse_args()
+
+    import os
+
+    if not args.fused:
+        os.environ.setdefault("ENDODAV_NO_FUSED", "1")
+
+    import jax
+    import jax.numpy as jnp
+
+    from endodav_tpu.models.dpt import DPTDecoder
+    from endodav_tpu.models.endodav import ENDODAV_CONFIGS, IMAGENET_MEAN, IMAGENET_STD
+    from endodav_tpu.models.vit import VIT_CONFIGS, DinoViT
+    from endodav_tpu.ops.resize import resize2d
+
+    enc = "vitl"
+    t = 32
+    ih, iw = args.image
+    vit_cfg = VIT_CONFIGS[enc]
+    cfg = ENDODAV_CONFIGS[enc]
+    dtype = jnp.bfloat16
+    rng = np.random.default_rng(0)
+
+    vit = DinoViT(**vit_cfg, include_cls_token=True, lora_variant="none",
+                  dtype=dtype, name="pretrained")
+    head = DPTDecoder(in_channels=vit_cfg["embed_dim"], features=cfg["features"],
+                      out_channels=cfg["out_channels"], temporal=True,
+                      num_frames=32, conv_head=True, dtype=dtype, name="head")
+
+    n = args.chunk * t
+    x = jnp.asarray(rng.uniform(0, 1, (n, ih, iw, 3)).astype(np.float32), dtype)
+    ph, pw = ih // 14, iw // 14
+
+    mean = jnp.asarray(IMAGENET_MEAN, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype)
+
+    @jax.jit
+    def trunk_fn(pv, x):
+        xi = (x - mean) / std
+        return vit.apply({"params": pv}, xi, cfg["intermediate"])
+
+    @jax.jit
+    def head_fn(ph_params, taps):
+        return head.apply({"params": ph_params}, taps, (ph, pw), frames=t)[("disp", 0)]
+
+    print(f"[vitl] init ({ih}x{iw}, chunk={args.chunk}, fused={args.fused})...",
+          flush=True)
+    pv = jax.jit(vit.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), x[:1], tuple(cfg["intermediate"]))["params"]
+
+    def timed(label, fn, *a):
+        t0 = time.time()
+        out = fn(*a)
+        jax.block_until_ready(out)
+        print(f"[vitl] {label} first call (compile+run): {time.time()-t0:.1f}s",
+              flush=True)
+        return out
+
+    taps = None
+    if args.stage in ("trunk", "all"):
+        taps = timed("trunk", trunk_fn, pv, x)
+    if args.stage == "trunk":
+        return
+
+    if taps is None:  # head-only compile: synthesize taps at the right shapes
+        taps = [(jnp.zeros((n, ph * pw, vit_cfg["embed_dim"]), dtype),
+                 jnp.zeros((n, vit_cfg["embed_dim"]), dtype))
+                for _ in cfg["intermediate"]]
+    phd = head.init(
+        jax.random.PRNGKey(1), jax.tree_util.tree_map(lambda a: a[:t], taps),
+        (ph, pw), frames=t)["params"]
+    disp = timed("head", head_fn, phd, taps)
+    if args.stage == "head":
+        return
+
+    # measured composition: trunk -> head, distinct buffers per rep
+    xs = [jnp.asarray(rng.uniform(0, 1, (n, ih, iw, 3)).astype(np.float32), dtype)
+          for _ in range(args.reps)]
+    jax.block_until_ready(xs)
+    t0 = time.time()
+    for xb in xs:
+        disp = head_fn(phd, trunk_fn(pv, xb))
+    jax.block_until_ready(disp)
+    per = (time.time() - t0) / args.reps
+    print(f"[vitl] e2e chunk forward: {per*1e3:.0f} ms -> "
+          f"{n/per:.1f} frames/s compute ({args.reps} reps)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
