@@ -100,29 +100,43 @@ def _forward(q, k, v, scale):
         kf = jnp.pad(kf, ((0, 0), (0, n_pad - n), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, n_pad - n), (0, 0)))
 
+    # Wide models (vitl: H*Dh=1024 at N=1703) blow the 16 MB VMEM budget
+    # with whole K/V blocks (observed: 18 MB scoped-vmem OOM).  Heads are
+    # independent, so a third parallel grid axis slices the lane dim into
+    # head groups — no accumulation, each group writes its own lanes.
+    groups = 1
+    # 3 MB threshold: vits 518 (K+V 2.2 MB) keeps its tuned whole-lane
+    # config; vitl 518 (7.3 MB) splits to 4 groups (~12 MB total with
+    # the f32 score tiles, under the 16 MB scoped-vmem budget).
+    while groups < h and 2 * n_pad * (h // groups) * dh * q.dtype.itemsize > 3 * 1024 * 1024:
+        groups *= 2
+    while h % groups:
+        groups //= 2
+    hg = h // groups
+
     # Ceil division: the q-grid must cover every valid row even when n_pad
     # is not a multiple of block_q (e.g. N=1703 at 518x644 -> n_pad=1792,
     # block_q=512 -> 4 blocks).  The edge block's out-of-range rows are
     # Pallas padding, clipped on the output write.
-    grid = (b, pl.cdiv(n, block_q))
+    grid = (b, pl.cdiv(n, block_q), groups)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_valid=n, heads=h, dh=dh),
+        functools.partial(_attn_kernel, scale=scale, n_valid=n, heads=hg, dh=dh),
         out_shape=jax.ShapeDtypeStruct((b, n, h * dh), q.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, h * dh), lambda bi, qi: (bi, qi, 0),
+                pl.BlockSpec((1, block_q, hg * dh), lambda bi, qi, gi: (bi, qi, gi),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad, h * dh), lambda bi, qi: (bi, 0, 0),
+                pl.BlockSpec((1, n_pad, hg * dh), lambda bi, qi, gi: (bi, 0, gi),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad, h * dh), lambda bi, qi: (bi, 0, 0),
+                pl.BlockSpec((1, n_pad, hg * dh), lambda bi, qi, gi: (bi, 0, gi),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, h * dh), lambda bi, qi: (bi, qi, 0),
+            out_specs=pl.BlockSpec((1, block_q, hg * dh), lambda bi, qi, gi: (bi, qi, gi),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
     )(qf, kf, vf)
     return out.reshape(b, n, h, dh)

@@ -103,9 +103,11 @@ def main():
         taps = [(jnp.zeros((n, ph * pw, vit_cfg["embed_dim"]), dtype),
                  jnp.zeros((n, vit_cfg["embed_dim"]), dtype))
                 for _ in cfg["intermediate"]]
-    phd = head.init(
-        jax.random.PRNGKey(1), jax.tree_util.tree_map(lambda a: a[:t], taps),
-        (ph, pw), frames=t)["params"]
+    # jit the init: eager vitl-width init materializes every DPT
+    # intermediate at 32 frames and OOMs HBM next to the resident trunk.
+    phd = jax.jit(
+        lambda rng, tp: head.init(rng, tp, (ph, pw), frames=t)["params"]
+    )(jax.random.PRNGKey(1), jax.tree_util.tree_map(lambda a: a[:t], taps))
     disp = timed("head", head_fn, phd, taps)
     if args.stage == "head":
         return
