@@ -50,10 +50,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
 
     for hh in range(heads):
         sl = slice(hh * dh, (hh + 1) * dh)
-        # scale folded into q (dh-wide multiply, not N^2) and softmax
-        # normalization deferred to after P@V (dh-wide divide, not N^2)
-        # — the N^2 f32 VPU chain is the kernel's measured bottleneck
-        # (PERFORMANCE.md "Kernels": lane-pad experiment).
+        # scale folded into q (dh-wide multiply, not N^2).  The softmax
+        # normalization stays IMMEDIATE (p / sum before P@V): deferring
+        # the divide past the dot looked like a saved N^2 pass but
+        # extended p's liveness across the matmul and blew the 16 MB
+        # scoped-vmem budget at the production 518px grid (21 MB, B=64)
+        # — the compiler reuses s's storage for the in-place divide.  An
+        # MXU-denominator variant (mask column contracted on the MXU)
+        # fits but measures slower (5.84 vs 4.70 ms; bench_flash_variant).
         qh = (q[:, sl].astype(jnp.float32) * scale).astype(q.dtype)
         s = jax.lax.dot_general(
             qh, k[:, sl], (((1,), (1,)), ((), ())),
@@ -63,9 +67,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int,
             s = jnp.where(col < n_valid, s, _MASK_VALUE)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot(p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def _round_up(x, m):
