@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "qkv_flash_attention"]
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -76,14 +76,50 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention(q, k, v, scale: float | None = None):
-    """Attention over [B, N, H, Dh]; returns [B, N, H, Dh]."""
-    return _forward(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q, k, v, scale: float | None = None,
+                    n_valid: int | None = None):
+    """Attention over [B, N, H, Dh]; returns [B, n_valid or N, H, Dh].
+
+    ``n_valid``: when the inputs arrive already row-padded to the 128-lane
+    grid (the fused-qkv path pads x once and projects at padded length),
+    pass the true sequence length here; the kernel masks the pad columns
+    and clips the output to ``n_valid`` rows.
+    """
+    return _forward(q, k, v, scale, n_valid)
 
 
-def _forward(q, k, v, scale):
-    b, n, h, dh = q.shape
+def qkv_flash_attention(x, w, bias, heads: int, scale: float | None = None):
+    """Fused-QKV attention: x [B, N, C] @ w [C, 3C] (+bias) -> attention.
+
+    Pads x ONCE to the 128-row grid and projects q/k/v from weight-column
+    slices at padded length, so none of the per-layer qkv[:, :, i] slice
+    copies, [B,N,H,Dh] reshape materializations, or separate K/V row pads
+    exist (profiled at ~22 ms of the 518px serving chunk).  The pad rows
+    of k/v are bias rows, not zeros — harmless: the kernel's score mask
+    zeroes their softmax weight exactly, and the q-side pad rows are
+    clipped on the output write.  Gradients flow through the projections
+    via XLA autodiff and through the kernel via its custom_vjp.
+    """
+    b, n, c = x.shape
+    dh = c // heads
+    n_pad = _round_up(n, 128)
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
+
+    def proj(i):
+        y = jax.lax.dot_general(xp, w[:, i * c:(i + 1) * c],
+                                (((2,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + bias[i * c:(i + 1) * c].astype(y.dtype)
+        return y.reshape(b, n_pad, heads, dh)
+
+    q, k, v = proj(0), proj(1), proj(2)
+    return flash_attention(q, k, v, scale, n if n_pad != n else None)
+
+
+def _forward(q, k, v, scale, n_valid=None):
+    b, n_arr, h, dh = q.shape
+    n = n_arr if n_valid is None else n_valid
     if scale is None:
         scale = dh ** -0.5
     n_pad = _round_up(n, 128)
@@ -97,12 +133,17 @@ def _forward(q, k, v, scale):
     # carry an explicit N-pad (masked + zeroed via the score mask); the
     # q-side edge block is Pallas padding whose garbage rows are clipped
     # on the output write.
-    qf = q.reshape(b, n, h * dh)
-    kf = k.reshape(b, n, h * dh)
-    vf = v.reshape(b, n, h * dh)
-    if n_pad != n:
-        kf = jnp.pad(kf, ((0, 0), (0, n_pad - n), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, n_pad - n), (0, 0)))
+    qf = q.reshape(b, n_arr, h * dh)
+    kf = k.reshape(b, n_arr, h * dh)
+    vf = v.reshape(b, n_arr, h * dh)
+    if n_arr == n:
+        if n_pad != n:
+            kf = jnp.pad(kf, ((0, 0), (0, n_pad - n), (0, 0)))
+            vf = jnp.pad(vf, ((0, 0), (0, n_pad - n), (0, 0)))
+    else:
+        # pre-padded inputs (qkv_flash_attention): k/v pad rows are bias
+        # rows — finite, score-masked to zero weight in-kernel.
+        assert n_arr == n_pad, (n_arr, n_pad)
 
     # Wide models (vitl: H*Dh=1024 at N=1703) blow the 16 MB VMEM budget
     # with whole K/V blocks (observed: 18 MB scoped-vmem OOM).  Heads are
@@ -146,17 +187,28 @@ def _forward(q, k, v, scale):
     return out.reshape(b, n, h, dh)
 
 
-def _fwd(q, k, v, scale):
-    return _forward(q, k, v, scale), (q, k, v)
+def _fwd(q, k, v, scale, n_valid):
+    return _forward(q, k, v, scale, n_valid), (q, k, v)
 
 
-def _bwd(scale, res, g):
+def _bwd(scale, n_valid, res, g):
     """XLA backward via recompute — N is small (≤1370), so the N×N scores
-    tile is cheap to rebuild and XLA fuses the chain well."""
+    tile is cheap to rebuild and XLA fuses the chain well.  For
+    pre-padded inputs (n_valid set), g's rows are zero-padded back to the
+    array length and the pad key columns are masked before the softmax;
+    ds for masked columns is exactly zero, so dk/dv pad-row grads vanish
+    and dq pad rows (g=0 rows) contribute nothing."""
     q, k, v = res
+    n_arr = q.shape[1]
     dh = q.shape[-1]
+    n = n_arr if n_valid is None else n_valid
+    if n_arr != n:
+        g = jnp.pad(g, ((0, 0), (0, n_arr - n), (0, 0), (0, 0)))
     sc = dh ** -0.5 if scale is None else scale
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * sc
+    if n_arr != n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, n_arr), 3)
+        s = jnp.where(col < n, s, _MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p.astype(g.dtype), g, preferred_element_type=jnp.float32)
     dp = jnp.einsum("bqhd,bkhd->bhqk", g, v, preferred_element_type=jnp.float32)

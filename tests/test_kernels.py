@@ -54,7 +54,7 @@ def test_flash_attention_backward_matches_xla():
 
     gref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     g = 2 * _xla_attention(q, k, v, dh ** -0.5)
-    dq, dk, dv = _bwd(dh ** -0.5, (q, k, v), g)
+    dq, dk, dv = _bwd(dh ** -0.5, None, (q, k, v), g)
     np.testing.assert_allclose(np.asarray(dq), np.asarray(gref[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(gref[1]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(gref[2]), atol=1e-4)
@@ -94,6 +94,45 @@ def test_temporal_attention_backward_matches_xla():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(gref[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(gref[1]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(gref[2]), atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [321, 600])
+def test_qkv_flash_attention_matches_unfused(n):
+    """The fused-qkv entry (x padded once, q/k/v projected from weight
+    slices at padded length, bias pad rows score-masked) must match the
+    unfused qkv Dense -> split -> attention math, forward and grads."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from endodav_tpu.kernels import flash_attention as fa
+
+    b, h, dh = 1, 3, 32
+    c = h * dh
+    x = jnp.asarray(RNG.standard_normal((b, n, c)).astype(np.float32))
+    w = jnp.asarray(RNG.standard_normal((c, 3 * c)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(RNG.standard_normal((3 * c,)).astype(np.float32))
+
+    def unfused(x, w, bias):
+        qkv = (x @ w + bias).reshape(b, n, 3, h, dh)
+        return _xla_attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                              dh ** -0.5)
+
+    ref = unfused(x, w, bias)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.qkv_flash_attention(x, w, bias, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def loss_fused(x, w, bias):
+        with pltpu.force_tpu_interpret_mode():
+            return (fa.qkv_flash_attention(x, w, bias, h) ** 2).sum()
+
+    def loss_ref(x, w, bias):
+        return (unfused(x, w, bias) ** 2).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, bias)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-3, rtol=1e-4)
 
 
 @pytest.mark.parametrize("c,heads,bstar", [(64, 8, 40), (192, 8, 24),

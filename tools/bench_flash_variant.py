@@ -144,6 +144,65 @@ def mxu_denom_forward(q, k, v, scale):
     return out.reshape(b, n, h, dh)
 
 
+def _kernel_bf16_softmax(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
+                         heads, dh):
+    """Variant: run the N^2 softmax chain in bf16.
+
+    The f32 score tile converts to bf16 right after the mask; max / sub /
+    exp / sum / div then process 2x the elements per vreg if Mosaic packs
+    bf16 on the VPU.  Accuracy cost ~0.4% relative on p — same order as
+    the bf16 P@V input cast the production kernel already does."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    n_pad = k.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], n_pad), 1)
+    for hh in range(heads):
+        sl = slice(hh * dh, (hh + 1) * dh)
+        qh = (q[:, sl].astype(jnp.float32) * scale).astype(q.dtype)
+        s = jax.lax.dot_general(
+            qh, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if n_valid != n_pad:
+            s = jnp.where(col < n_valid, s, _MASK_VALUE)
+        sb = s.astype(jnp.bfloat16)
+        m = jnp.max(sb, axis=1, keepdims=True)
+        p = jnp.exp(sb - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p, v[:, sl], preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def bf16_softmax_forward(q, k, v, scale):
+    b, n, h, dh = q.shape
+    n_pad = (n + 127) // 128 * 128
+    block_q = min(n_pad, 512)
+    qf = q.reshape(b, n, h * dh)
+    kf = jnp.pad(k.reshape(b, n, h * dh), ((0, 0), (0, n_pad - n), (0, 0)))
+    vf = jnp.pad(v.reshape(b, n, h * dh), ((0, 0), (0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kernel_bf16_softmax, scale=scale, n_valid=n,
+                          heads=h, dh=dh),
+        out_shape=jax.ShapeDtypeStruct((b, n, h * dh), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b, pl.cdiv(n, block_q)),
+            in_specs=[
+                pl.BlockSpec((1, block_q, h * dh), lambda bi, qi: (bi, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, h * dh), lambda bi, qi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, h * dh), lambda bi, qi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, h * dh), lambda bi, qi: (bi, qi, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(qf, kf, vf)
+    return out.reshape(b, n, h, dh)
+
+
 def main():
     rng = np.random.default_rng(0)
     q, k, v = (jnp.asarray(rng.standard_normal((B, N, H, DH)), jnp.bfloat16)
@@ -153,15 +212,17 @@ def main():
     cur = jax.jit(lambda q, k, v: _forward(q, k, v, scale))
     pad = jax.jit(lambda q, k, v: padded_forward(q, k, v, scale))
     mxd = jax.jit(lambda q, k, v: mxu_denom_forward(q, k, v, scale))
+    b16 = jax.jit(lambda q, k, v: bf16_softmax_forward(q, k, v, scale))
     a = cur(q, k, v)
-    for name, fn in (("padded", pad), ("mxu_denom", mxd)):
+    for name, fn in (("padded", pad), ("mxu_denom", mxd), ("bf16_softmax", b16)):
         b_ = fn(q, k, v)
         err = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b_.astype(jnp.float32))))
         print(f"max err {name} vs current: {err:.2e}")
 
     for label, fn in (("current 64-lane slices", cur),
                       ("padded 128-lane slices", pad),
-                      ("mxu-denominator mask-free", mxd)):
+                      ("mxu-denominator mask-free", mxd),
+                      ("bf16 softmax chain", b16)):
         jax.block_until_ready(fn(q, k, v))
         rows = device_profile(lambda: fn(q, k, v), top=30)
         tot = sum(ms for name, n_, ms in rows

@@ -72,6 +72,10 @@ def main():
         srcs.setdefault(src, [0, 0.0])
         srcs[src][0] += 1
         srcs[src][1] += dur
+        key = f"{op} @ {src}"
+        srcs.setdefault(key, [0, 0.0])
+        srcs[key][0] += 1
+        srcs[key][1] += dur
 
     print(f"--- {args.config} chunk forward: {total/1e3:.1f} ms device ---")
     print("by op (top 15):")
@@ -79,7 +83,18 @@ def main():
         print(f"  {dd/1e3:8.1f} ms n={c:5d} {k}")
     print("by source (top 15):")
     for k, (c, dd) in sorted(srcs.items(), key=lambda kv: -kv[1][1])[:15]:
+        if " @ " in k:
+            continue
         print(f"  {dd/1e3:8.1f} ms n={c:5d} {k}")
+    print("by op@source (top 25):")
+    shown = 0
+    for k, (c, dd) in sorted(srcs.items(), key=lambda kv: -kv[1][1]):
+        if " @ " not in k:
+            continue
+        print(f"  {dd/1e3:8.1f} ms n={c:5d} {k}")
+        shown += 1
+        if shown >= 25:
+            break
 
 
 if __name__ == "__main__":
