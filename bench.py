@@ -56,6 +56,11 @@ def measure_transfer_rates(n_mb: int = 16):
     import jax
     import jax.numpy as jnp
 
+    # warm both directions first: the process's first transfer each way
+    # pays lazy runtime setup (observed: a first-D2H stall that read as
+    # 0.0 MB/s while the e2e run right after sustained ~30 MB/s).
+    warm = jax.device_put(np.zeros((1 << 20,), np.uint8))
+    np.asarray(warm + 1)
     host = np.random.default_rng(0).integers(0, 255, (n_mb, 1 << 20), dtype=np.uint8)
     t0 = time.time()
     dev = jax.device_put(host)

@@ -163,21 +163,28 @@ def _forward(q, k, v, scale, n_valid=None):
     # is not a multiple of block_q (e.g. N=1703 at 518x644 -> n_pad=1792,
     # block_q=512 -> 4 blocks).  The edge block's out-of-range rows are
     # Pallas padding, clipped on the output write.
-    grid = (b, pl.cdiv(n, block_q), groups)
+    #
+    # Grid order (b, groups, q-blocks): the innermost axis varies fastest,
+    # and Pallas elides an input DMA when its block index is unchanged
+    # between consecutive steps — with qi innermost the K/V blocks (which
+    # depend only on bi/gi) are fetched once per head group instead of
+    # once per q-block (vitl: 4x less K/V traffic; vits has groups=1 and
+    # sees no change).
+    grid = (b, groups, pl.cdiv(n, block_q))
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, n_valid=n, heads=hg, dh=dh),
         out_shape=jax.ShapeDtypeStruct((b, n, h * dh), q.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, hg * dh), lambda bi, qi, gi: (bi, qi, gi),
+                pl.BlockSpec((1, block_q, hg * dh), lambda bi, gi, qi: (bi, qi, gi),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad, hg * dh), lambda bi, qi, gi: (bi, 0, gi),
+                pl.BlockSpec((1, n_pad, hg * dh), lambda bi, gi, qi: (bi, 0, gi),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_pad, hg * dh), lambda bi, qi, gi: (bi, 0, gi),
+                pl.BlockSpec((1, n_pad, hg * dh), lambda bi, gi, qi: (bi, 0, gi),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, hg * dh), lambda bi, qi, gi: (bi, qi, gi),
+            out_specs=pl.BlockSpec((1, block_q, hg * dh), lambda bi, gi, qi: (bi, qi, gi),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
