@@ -147,10 +147,39 @@ def _read_coords(c_ref, start, pb):
     return [c_ref[0, r:r + 1, pl.ds(start, pb)] for r in range(8)]
 
 
-def _ohyt(y0, y1, wy0, wy1, h, pb):
-    """Weighted y one-hot, built transposed [H, Pb] from [1, Pb] rows.
+# Row-band optimization: warp flows are local, so a 128-pixel raster
+# chunk's source rows usually span just a few image rows — yet every
+# one-hot contraction runs over ALL H rows (the formulation's intrinsic
+# H*WC*P cost).  Each chunk gets a precomputed 8-aligned _BAND-row
+# window (scalar-prefetched to SMEM); when the chunk's rows fit, the
+# kernels contract over the 64-row sub-image (4x less MXU work at
+# H=256), and fall back to the exact full-height path otherwise — so
+# results are bit-identical for ANY coordinates, banded or not.
+_BAND = 64
+
+
+def _band_plan(packed, h, pb):
+    """Per-(batch, chunk) banded-row plan from the packed coords:
+    8-aligned band start [B, nc] i32 + in-band flag [B, nc] i32.
+
+    Pad pixels carry y0=y1=0 and pull a final chunk's min to row 0 —
+    that chunk simply takes the full-height fallback."""
+    b, _, ppad = packed.shape
+    nc = ppad // pb
+    y0 = packed[:, 0, :].reshape(b, nc, pb)
+    y1 = packed[:, 1, :].reshape(b, nc, pb)
+    lo = jnp.min(y0, axis=2)
+    hi = jnp.max(y1, axis=2)
+    start = jnp.minimum(jnp.floor(lo / 8.0) * 8.0, float(max(h - _BAND, 0)))
+    ok = (hi - start) <= float(_BAND - 1)
+    return start.astype(jnp.int32), ok.astype(jnp.int32)
+
+
+def _ohyt(y0, y1, wy0, wy1, h, pb, row0=0):
+    """Weighted y one-hot, built transposed [rows, Pb] from [1, Pb] rows;
+    ``row0`` offsets the iota for banded sub-images.
     (int32 iota + int compare: Mosaic has no float iota.)"""
-    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0)
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0) + row0
     return (wy0 * (ioh == y0.astype(jnp.int32))
             + wy1 * (ioh == y1.astype(jnp.int32)))
 
@@ -170,24 +199,41 @@ def _chan_mask(wc, pb, C, c):
 
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(c_ref, img_ref, o_ref, *, C: int, pb: int):
-    start = pl.program_id(1) * pb
+def _fwd_kernel(band_ref, ok_ref, c_ref, img_ref, o_ref, *, C: int, pb: int,
+                banded: bool):
+    bi, pi = pl.program_id(0), pl.program_id(1)
+    start = pi * pb
     y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
-    img = img_ref[0]
-    H, WC = img.shape
-    if img.dtype != jnp.float32:
-        img = img.astype(jnp.float32)
+    H, WC = img_ref.shape[1], img_ref.shape[2]
 
-    ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
-    rt = _dot3(img, ohyt, ((0,), (0,)))  # [WC, pb]
-    t = rt * _ohxt(x0, x1, wx0, wx1, WC, pb, C)
-    if C == 1:
-        out = jnp.sum(t, axis=0, keepdims=True)
-    else:
-        out = jnp.concatenate(
+    def x_stage(rt):
+        t = rt * _ohxt(x0, x1, wx0, wx1, WC, pb, C)
+        if C == 1:
+            return jnp.sum(t, axis=0, keepdims=True)
+        return jnp.concatenate(
             [jnp.sum(t * _chan_mask(WC, pb, C, c), axis=0, keepdims=True)
              for c in range(C)], axis=0)
-    o_ref[0, :, pl.ds(start, pb)] = out
+
+    def full():
+        ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
+        rt = _dot3(img_ref[0], ohyt, ((0,), (0,)))  # [WC, pb]
+        o_ref[0, :, pl.ds(start, pb)] = x_stage(rt)
+
+    if banded:
+        row0 = band_ref[bi, pi]
+
+        @pl.when(ok_ref[bi, pi] != 0)
+        def _banded():
+            sub = img_ref[0, pl.ds(row0, _BAND), :]
+            ohyt = _ohyt(y0, y1, wy0, wy1, _BAND, pb, row0)
+            rt = _dot3(sub, ohyt, ((0,), (0,)))
+            o_ref[0, :, pl.ds(start, pb)] = x_stage(rt)
+
+        @pl.when(ok_ref[bi, pi] == 0)
+        def _full():
+            full()
+    else:
+        full()
 
 
 # --------------------------------------------------------------- backward
@@ -205,60 +251,87 @@ def _g_t(g, wc, pb, C):
     return acc
 
 
-def _bwd_coord_kernel(c_ref, img_ref, g_ref, dw_ref, *, C: int, pb: int):
+def _bwd_coord_kernel(band_ref, ok_ref, c_ref, img_ref, g_ref, dw_ref, *,
+                      C: int, pb: int, banded: bool):
     """d(out)/d(lerp weights) -> packed [1, 4, Ppad] rows
     (dwy0, dwy1, dwx0, dwx1); two 0/1 one-hot matmuls recover the
     per-corner row samples, the rest is elementwise + sublane reduces."""
-    start = pl.program_id(1) * pb
+    bi, pi = pl.program_id(0), pl.program_id(1)
+    start = pi * pb
     y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
-    img = img_ref[0]
-    H, WC = img.shape
-    if img.dtype != jnp.float32:
-        img = img.astype(jnp.float32)
+    H, WC = img_ref.shape[1], img_ref.shape[2]
 
-    ioh = jax.lax.broadcasted_iota(jnp.int32, (H, pb), 0)
-    oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
-    oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
-    r0 = _dot2_onehot(img, oh0, ((0,), (0,)))  # [WC, pb]
-    r1 = _dot2_onehot(img, oh1, ((0,), (0,)))
-    rt = wy0 * r0 + wy1 * r1
+    def core(img, rows, row0):
+        ioh = jax.lax.broadcasted_iota(jnp.int32, (rows, pb), 0) + row0
+        oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
+        oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
+        r0 = _dot2_onehot(img, oh0, ((0,), (0,)))  # [WC, pb]
+        r1 = _dot2_onehot(img, oh1, ((0,), (0,)))
+        rt = wy0 * r0 + wy1 * r1
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (WC, pb), 0)
-    sub_w = sub // C if C > 1 else sub
-    m0 = (sub_w == x0.astype(jnp.int32)).astype(jnp.float32)
-    m1 = (sub_w == x1.astype(jnp.int32)).astype(jnp.float32)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (WC, pb), 0)
+        sub_w = sub // C if C > 1 else sub
+        m0 = (sub_w == x0.astype(jnp.int32)).astype(jnp.float32)
+        m1 = (sub_w == x1.astype(jnp.int32)).astype(jnp.float32)
 
-    g = _g_t(g_ref[0, :, pl.ds(start, pb)], WC, pb, C)
-    dr = g * (wx0 * m0 + wx1 * m1)
-    gr = g * rt
-    out = jnp.concatenate([
-        jnp.sum(dr * r0, axis=0, keepdims=True),
-        jnp.sum(dr * r1, axis=0, keepdims=True),
-        jnp.sum(gr * m0, axis=0, keepdims=True),
-        jnp.sum(gr * m1, axis=0, keepdims=True),
-    ], axis=0)
-    dw_ref[0, :, pl.ds(start, pb)] = out
+        g = _g_t(g_ref[0, :, pl.ds(start, pb)], WC, pb, C)
+        dr = g * (wx0 * m0 + wx1 * m1)
+        gr = g * rt
+        out = jnp.concatenate([
+            jnp.sum(dr * r0, axis=0, keepdims=True),
+            jnp.sum(dr * r1, axis=0, keepdims=True),
+            jnp.sum(gr * m0, axis=0, keepdims=True),
+            jnp.sum(gr * m1, axis=0, keepdims=True),
+        ], axis=0)
+        dw_ref[0, :, pl.ds(start, pb)] = out
+
+    if banded:
+        row0 = band_ref[bi, pi]
+
+        @pl.when(ok_ref[bi, pi] != 0)
+        def _banded():
+            core(img_ref[0, pl.ds(row0, _BAND), :], _BAND, row0)
+
+        @pl.when(ok_ref[bi, pi] == 0)
+        def _full():
+            core(img_ref[0], H, 0)
+    else:
+        core(img_ref[0], H, 0)
 
 
-def _bwd_img_kernel(c_ref, g_ref, dimg_ref, *, C: int, pb: int):
+def _bwd_img_kernel(band_ref, ok_ref, c_ref, g_ref, dimg_ref, *, C: int,
+                    pb: int, banded: bool):
     """d_img = dot(OHYt [H, Pb], dRt [WC, Pb] contracting Pb) -> [H, WC],
-    accumulated over pixel chunks."""
-    start = pl.program_id(1) * pb
+    accumulated over pixel chunks (banded chunks update only their
+    _BAND-row window)."""
+    bi, pi = pl.program_id(0), pl.program_id(1)
+    start = pi * pb
     y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
     H, WC = dimg_ref.shape[1], dimg_ref.shape[2]
 
     dr = (_g_t(g_ref[0, :, pl.ds(start, pb)], WC, pb, C)
           * _ohxt(x0, x1, wx0, wx1, WC, pb, C))
-    ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
-    upd = _dot3(ohyt, dr, ((1,), (1,)))  # [H, WC]
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pi == 0)
     def _init():
-        dimg_ref[0] = upd.astype(dimg_ref.dtype)
+        dimg_ref[0] = jnp.zeros((H, WC), dimg_ref.dtype)
 
-    @pl.when(pl.program_id(1) != 0)
-    def _acc():
-        dimg_ref[0] += upd.astype(dimg_ref.dtype)
+    if banded:
+        row0 = band_ref[bi, pi]
+
+        @pl.when(ok_ref[bi, pi] != 0)
+        def _banded():
+            ohyt = _ohyt(y0, y1, wy0, wy1, _BAND, pb, row0)
+            upd = _dot3(ohyt, dr, ((1,), (1,)))  # [_BAND, WC]
+            dimg_ref[0, pl.ds(row0, _BAND), :] += upd.astype(dimg_ref.dtype)
+
+        @pl.when(ok_ref[bi, pi] == 0)
+        def _full():
+            ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
+            dimg_ref[0] += _dot3(ohyt, dr, ((1,), (1,))).astype(dimg_ref.dtype)
+    else:
+        ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
+        dimg_ref[0] += _dot3(ohyt, dr, ((1,), (1,))).astype(dimg_ref.dtype)
 
 
 # ---------------------------------------------------------------- wrapper
@@ -270,7 +343,9 @@ def _pick_pb(C, backward=False):
 
 
 def _cspec(ppad):
-    return pl.BlockSpec((1, 8, ppad), lambda bi, pi: (bi, 0, 0),
+    # index map tolerates the scalar-prefetch refs appended by
+    # PrefetchScalarGridSpec
+    return pl.BlockSpec((1, 8, ppad), lambda bi, pi, *_: (bi, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -288,25 +363,30 @@ def _mm_forward(img, fx, fy, zeros_mode):
     out_sp = fx.shape[1:]
     pb = _pick_pb(c)
     packed, p, ppad = _pack_coords(fx, fy, h, w, zeros_mode, pb)
-    imgf = img.reshape(b, h, w * c)
+    # f32 once here instead of a per-chunk in-kernel cast (the image is
+    # VMEM-resident across the chunk grid; the cast ran every chunk).
+    imgf = img.reshape(b, h, w * c).astype(jnp.float32)
+    banded = h > _BAND
+    band, ok = _band_plan(packed, h, pb)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C=c, pb=pb),
+        functools.partial(_fwd_kernel, C=c, pb=pb, banded=banded),
         out_shape=jax.ShapeDtypeStruct((b, c, ppad), jnp.float32),
-        grid_spec=pl.GridSpec(
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
             grid=(b, ppad // pb),
             in_specs=[
                 _cspec(ppad),
-                pl.BlockSpec((1, h, w * c), lambda bi, pi: (bi, 0, 0),
+                pl.BlockSpec((1, h, w * c), lambda bi, pi, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, c, ppad), lambda bi, pi: (bi, 0, 0),
+            out_specs=pl.BlockSpec((1, c, ppad), lambda bi, pi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(packed, imgf)
+    )(band, ok, packed, imgf)
     # [B, C, Ppad] -> [B, *out_sp, C]
     return jnp.moveaxis(out[:, :, :p], 1, 2).reshape(b, *out_sp, c)
 
@@ -320,50 +400,54 @@ def _mm_bwd(zeros_mode, align_corners, res, g):
     b, h, w, c = img.shape
     pb = _pick_pb(c, backward=True)
     packed, p, ppad = _pack_coords(fx, fy, h, w, zeros_mode, pb)
-    imgf = img.reshape(b, h, w * c)
+    imgf = img.reshape(b, h, w * c).astype(jnp.float32)
     gt = jnp.moveaxis(g.reshape(b, p, c).astype(jnp.float32), 2, 1)  # [B, C, P]
     if ppad != p:
         gt = jnp.pad(gt, ((0, 0), (0, 0), (0, ppad - p)))
+    banded = h > _BAND
+    band, ok = _band_plan(packed, h, pb)
 
     grid = (b, ppad // pb)
-    gspec = pl.BlockSpec((1, c, ppad), lambda bi, pi: (bi, 0, 0),
+    gspec = pl.BlockSpec((1, c, ppad), lambda bi, pi, *_: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
 
     # coordinate-weight grads (skipped by XLA DCE when the grid needs no
     # grad): packed rows (dwy0, dwy1, dwx0, dwx1)
     dw = pl.pallas_call(
-        functools.partial(_bwd_coord_kernel, C=c, pb=pb),
+        functools.partial(_bwd_coord_kernel, C=c, pb=pb, banded=banded),
         out_shape=jax.ShapeDtypeStruct((b, 4, ppad), jnp.float32),
-        grid_spec=pl.GridSpec(
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 _cspec(ppad),
-                pl.BlockSpec((1, h, w * c), lambda bi, pi: (bi, 0, 0),
+                pl.BlockSpec((1, h, w * c), lambda bi, pi, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
                 gspec,
             ],
-            out_specs=pl.BlockSpec((1, 4, ppad), lambda bi, pi: (bi, 0, 0),
+            out_specs=pl.BlockSpec((1, 4, ppad), lambda bi, pi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(packed, imgf, gt)
+    )(band, ok, packed, imgf, gt)
 
     # image grad (skipped by XLA DCE when img is input data)
     dimg = pl.pallas_call(
-        functools.partial(_bwd_img_kernel, C=c, pb=pb),
+        functools.partial(_bwd_img_kernel, C=c, pb=pb, banded=banded),
         out_shape=jax.ShapeDtypeStruct((b, h, w * c), jnp.float32),
-        grid_spec=pl.GridSpec(
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[_cspec(ppad), gspec],
-            out_specs=pl.BlockSpec((1, h, w * c), lambda bi, pi: (bi, 0, 0),
+            out_specs=pl.BlockSpec((1, h, w * c), lambda bi, pi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(packed, gt)
+    )(band, ok, packed, gt)
 
     out_sp = fx.shape
     dwy0, dwy1, dwx0, dwx1 = (dw[:, i, :p] for i in range(4))
@@ -393,24 +477,37 @@ grid_sample_mm.defvjp(_mm_fwd, _mm_bwd)
 
 # ------------------------------------------------------------------ splat
 
-def _splat_kernel(c_ref, occ_ref, *, H: int, W: int, pb: int):
+def _splat_kernel(band_ref, ok_ref, c_ref, occ_ref, *, H: int, W: int,
+                  pb: int, banded: bool):
     """occ += dot(At [H, Pc], Bt [W, Pc] contracting Pc): At one-hot over
-    target rows, Bt over target cols, each carrying its axis' weights."""
-    start = pl.program_id(1) * pb
+    target rows, Bt over target cols, each carrying its axis' weights.
+    Banded chunks accumulate only their _BAND-row window."""
+    bi, pi = pl.program_id(0), pl.program_id(1)
+    start = pi * pb
     y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
-    at = _ohyt(y0, y1, wy0, wy1, H, pb)
     iow = jax.lax.broadcasted_iota(jnp.int32, (W, pb), 0)
     bt = (wx0 * (iow == x0.astype(jnp.int32))
           + wx1 * (iow == x1.astype(jnp.int32)))  # [W, pb]
-    upd = _dot3(at, bt, ((1,), (1,)))
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pi == 0)
     def _init():
-        occ_ref[0] = upd
+        occ_ref[0] = jnp.zeros((H, W), occ_ref.dtype)
 
-    @pl.when(pl.program_id(1) != 0)
-    def _acc():
-        occ_ref[0] += upd
+    if banded:
+        row0 = band_ref[bi, pi]
+
+        @pl.when(ok_ref[bi, pi] != 0)
+        def _banded():
+            at = _ohyt(y0, y1, wy0, wy1, _BAND, pb, row0)
+            occ_ref[0, pl.ds(row0, _BAND), :] += _dot3(at, bt, ((1,), (1,)))
+
+        @pl.when(ok_ref[bi, pi] == 0)
+        def _full():
+            at = _ohyt(y0, y1, wy0, wy1, H, pb)
+            occ_ref[0] += _dot3(at, bt, ((1,), (1,)))
+    else:
+        at = _ohyt(y0, y1, wy0, wy1, H, pb)
+        occ_ref[0] += _dot3(at, bt, ((1,), (1,)))
 
 
 def _splat_corners(f, size):
@@ -439,18 +536,23 @@ def splat_mm(x, y, height: int, width: int):
     if pad:
         packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
     ppad = p + pad
+    banded = height > _BAND
+    band, ok = _band_plan(packed, height, pb)
 
     occ = pl.pallas_call(
-        functools.partial(_splat_kernel, H=height, W=width, pb=pb),
+        functools.partial(_splat_kernel, H=height, W=width, pb=pb,
+                          banded=banded),
         out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.float32),
-        grid_spec=pl.GridSpec(
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
             grid=(b, ppad // pb),
             in_specs=[_cspec(ppad)],
-            out_specs=pl.BlockSpec((1, height, width), lambda bi, pi: (bi, 0, 0),
+            out_specs=pl.BlockSpec((1, height, width),
+                                   lambda bi, pi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(packed)
+    )(band, ok, packed)
     return occ

@@ -131,6 +131,85 @@ def test_splat_fast_backward_matches_xla():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("local", [True, False])
+def test_grid_sample_mm_banded_path(local):
+    """h > _BAND routes per-chunk through the banded branch (local flows)
+    or the full-height fallback (scattered coords) — both must match the
+    gather oracle, forward and grads."""
+    from endodav_tpu.kernels import warp_matmul as wm
+
+    b, h, w, c = 1, 96, 40, 3
+    assert h > wm._BAND
+    img = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    if local:
+        # identity + small flow: every chunk's source rows stay local
+        fx = xx[None] + RNG.uniform(-2, 2, (b, h, w)).astype(np.float32)
+        fy = yy[None] + RNG.uniform(-2, 2, (b, h, w)).astype(np.float32)
+    else:
+        fx = RNG.uniform(-3, w + 2, (b, h, w)).astype(np.float32)
+        fy = RNG.uniform(-3, h + 2, (b, h, w)).astype(np.float32)
+    fx, fy = jnp.asarray(fx), jnp.asarray(fy)
+
+    # the plan must actually produce band hits for local flows (else this
+    # test would silently only exercise the fallback)
+    packed, _, _ = wm._pack_coords(fx, fy, h, w, False, wm._pick_pb(c))
+    _, ok = wm._band_plan(packed, h, wm._pick_pb(c))
+    if local:
+        assert float(jnp.mean(ok.astype(jnp.float32))) > 0.9
+    else:
+        assert float(jnp.mean(ok.astype(jnp.float32))) < 0.5
+
+    def to_grid(fx, fy):  # fractional pixels -> normalized (ac=True)
+        gx = fx / (w - 1) * 2.0 - 1.0
+        gy = fy / (h - 1) * 2.0 - 1.0
+        return jnp.stack([gx, gy], axis=-1)
+
+    want = sampling.grid_sample(img, to_grid(fx, fy), padding_mode="border",
+                                align_corners=True)
+    wgt = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+
+    def loss_ker(img, fx, fy):
+        return (wm.grid_sample_mm(img, fx, fy, False, True) * wgt).sum()
+
+    def loss_ref(img, fx, fy):
+        return (sampling.grid_sample(img, to_grid(fx, fy),
+                                     padding_mode="border",
+                                     align_corners=True) * wgt).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        got = wm.grid_sample_mm(img, fx, fy, False, True)
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(img, fx, fy)
+    # 3e-5: _dot3's compensated product drops the al@bl term (~2^-18
+    # relative, module docstring) — not a banding artifact.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(img, fx, fy)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_splat_mm_banded_matches_scatter():
+    from endodav_tpu.kernels.warp_matmul import splat_mm
+
+    b, h, w = 1, 96, 28
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    # local flow for most pixels, a scattered block to force fallbacks
+    fx = xx[None] + RNG.uniform(-2, 2, (b, h, w)).astype(np.float32)
+    fy = yy[None] + RNG.uniform(-2, 2, (b, h, w)).astype(np.float32)
+    fy[:, :8] = RNG.uniform(0, h - 1, (b, 8, w)).astype(np.float32)
+    coords = jnp.asarray(np.stack([fx, fy], axis=-1))
+    want = sampling._splat_xla(coords, h, w)
+    with pltpu.force_tpu_interpret_mode():
+        got = splat_mm(coords[..., 0].reshape(b, -1),
+                       coords[..., 1].reshape(b, -1), h, w)
+    np.testing.assert_allclose(np.asarray(got).reshape(b, h, w, 1),
+                               np.asarray(want), atol=1e-4, rtol=1e-5)
+
+
 def test_dispatch_env_override(monkeypatch):
     monkeypatch.setenv("ENDODAV_NO_WARP_MM", "1")
     assert not sampling._use_mm_kernel(256, 320, 3)
