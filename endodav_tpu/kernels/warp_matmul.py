@@ -54,6 +54,7 @@ padded pixels contribute nothing to any accumulated output.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +157,12 @@ def _read_coords(c_ref, start, pb):
 # H=256), and fall back to the exact full-height path otherwise — so
 # results are bit-identical for ANY coordinates, banded or not.
 _BAND = 64
+
+
+def _banding_enabled(h: int) -> bool:
+    """Banding applies when the image is taller than one band;
+    ENDODAV_WARP_NOBAND=1 forces the full-height path (A/B switch)."""
+    return h > _BAND and not os.environ.get("ENDODAV_WARP_NOBAND")
 
 
 def _band_plan(packed, h, pb):
@@ -366,7 +373,7 @@ def _mm_forward(img, fx, fy, zeros_mode):
     # f32 once here instead of a per-chunk in-kernel cast (the image is
     # VMEM-resident across the chunk grid; the cast ran every chunk).
     imgf = img.reshape(b, h, w * c).astype(jnp.float32)
-    banded = h > _BAND
+    banded = _banding_enabled(h)
     band, ok = _band_plan(packed, h, pb)
 
     out = pl.pallas_call(
@@ -404,7 +411,7 @@ def _mm_bwd(zeros_mode, align_corners, res, g):
     gt = jnp.moveaxis(g.reshape(b, p, c).astype(jnp.float32), 2, 1)  # [B, C, P]
     if ppad != p:
         gt = jnp.pad(gt, ((0, 0), (0, 0), (0, ppad - p)))
-    banded = h > _BAND
+    banded = _banding_enabled(h)
     band, ok = _band_plan(packed, h, pb)
 
     grid = (b, ppad // pb)
@@ -536,7 +543,7 @@ def splat_mm(x, y, height: int, width: int):
     if pad:
         packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
     ppad = p + pad
-    banded = height > _BAND
+    banded = _banding_enabled(height)
     band, ok = _band_plan(packed, height, pb)
 
     occ = pl.pallas_call(
