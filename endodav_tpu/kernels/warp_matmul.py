@@ -126,6 +126,19 @@ def _corners(f, size, zeros_mode):
     return jnp.clip(f0, 0, size - 1), jnp.clip(i1, 0, size - 1), w0, w1
 
 
+def _pad_packed(packed, pad):
+    """Pad the pixel axis: index rows (0,1,4,5) replicate their edge value
+    so a final partial chunk's band plan sees only real coordinates;
+    weight rows (2,3,6,7) pad with zeros so pad pixels contribute nothing
+    to any accumulated output (splat / d_img)."""
+    if not pad:
+        return packed
+    edge = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)), mode="edge")
+    zero = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
+    is_idx = jnp.asarray([1, 1, 0, 0, 1, 1, 0, 0], jnp.bool_)[None, :, None]
+    return jnp.where(is_idx, edge, zero)
+
+
 def _pack_coords(fx, fy, H, W, zeros_mode, pb):
     """-> packed [B, 8, Ppad] f32 (y0,y1,wy0,wy1,x0,x1,wx0,wx1), p, ppad."""
     b = fx.shape[0]
@@ -138,9 +151,7 @@ def _pack_coords(fx, fy, H, W, zeros_mode, pb):
     y0, y1, wy0, wy1 = _corners(fy, H, zeros_mode)
     packed = jnp.stack([y0, y1, wy0, wy1, x0, x1, wx0, wx1], axis=1)
     pad = _round_up(p, pb) - p
-    if pad:
-        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
-    return packed, p, p + pad
+    return _pad_packed(packed, pad), p, p + pad
 
 
 def _read_coords(c_ref, start, pb):
@@ -169,8 +180,8 @@ def _band_plan(packed, h, pb):
     """Per-(batch, chunk) banded-row plan from the packed coords:
     8-aligned band start [B, nc] i32 + in-band flag [B, nc] i32.
 
-    Pad pixels carry y0=y1=0 and pull a final chunk's min to row 0 —
-    that chunk simply takes the full-height fallback."""
+    Pad pixels replicate the last real pixel's indices (_pad_packed), so
+    a final partial chunk still gets a real banded plan."""
     b, _, ppad = packed.shape
     nc = ppad // pb
     y0 = packed[:, 0, :].reshape(b, nc, pb)
@@ -539,9 +550,8 @@ def splat_mm(x, y, height: int, width: int):
     pad = _round_up(p, pb) - p
     x0, x1, wx0, wx1 = _splat_corners(x.astype(jnp.float32), width)
     y0, y1, wy0, wy1 = _splat_corners(y.astype(jnp.float32), height)
-    packed = jnp.stack([y0, y1, wy0, wy1, x0, x1, wx0, wx1], axis=1)
-    if pad:
-        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
+    packed = _pad_packed(
+        jnp.stack([y0, y1, wy0, wy1, x0, x1, wx0, wx1], axis=1), pad)
     ppad = p + pad
     banded = _banding_enabled(height)
     band, ok = _band_plan(packed, height, pb)

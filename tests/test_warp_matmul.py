@@ -210,6 +210,55 @@ def test_splat_mm_banded_matches_scatter():
                                np.asarray(want), atol=1e-4, rtol=1e-5)
 
 
+@pytest.mark.parametrize("c,h", [(1, 72), (3, 72), (1, 65)])
+def test_grid_sample_mm_band_edges(c, h):
+    """Band-plan edge cases: h a non-multiple of the band, and every
+    coordinate in the bottom rows so the 8-aligned band start clamps to
+    h - _BAND (the `min(..., h-_BAND)` branch)."""
+    from endodav_tpu.kernels import warp_matmul as wm
+
+    b, w = 1, 24
+    assert h > wm._BAND
+    img = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+    # all source y in the last 6 rows (incl. past the border -> clipped),
+    # x across and past the full width
+    fy = jnp.asarray(RNG.uniform(h - 6, h + 2, (b, 16, 20)).astype(np.float32))
+    fx = jnp.asarray(RNG.uniform(-2, w + 1, (b, 16, 20)).astype(np.float32))
+
+    packed, _, _ = wm._pack_coords(fx, fy, h, w, False, wm._pick_pb(c))
+    band, ok = wm._band_plan(packed, h, wm._pick_pb(c))
+    assert int(jnp.max(band)) <= h - wm._BAND  # clamp held
+    assert float(jnp.mean(ok.astype(jnp.float32))) > 0.9  # banded route taken
+
+    def to_grid(fx, fy):
+        gx = fx / (w - 1) * 2.0 - 1.0
+        gy = fy / (h - 1) * 2.0 - 1.0
+        return jnp.stack([gx, gy], axis=-1)
+
+    want = sampling.grid_sample(img, to_grid(fx, fy), padding_mode="border",
+                                align_corners=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = wm.grid_sample_mm(img, fx, fy, False, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
+
+
+def test_splat_mm_band_bottom_clamp():
+    from endodav_tpu.kernels.warp_matmul import splat_mm, _BAND
+
+    b, h, w = 1, 80, 24
+    assert h > _BAND
+    fy = RNG.uniform(h - 5, h - 1, (b, h * w)).astype(np.float32)
+    fx = RNG.uniform(0, w - 1, (b, h * w)).astype(np.float32)
+    coords = jnp.asarray(np.stack([fx.reshape(b, h, w),
+                                   fy.reshape(b, h, w)], axis=-1))
+    want = sampling._splat_xla(coords, h, w)
+    with pltpu.force_tpu_interpret_mode():
+        got = splat_mm(jnp.asarray(fx), jnp.asarray(fy), h, w)
+    np.testing.assert_allclose(np.asarray(got).reshape(b, h, w, 1),
+                               np.asarray(want), atol=1e-4, rtol=1e-5)
+
+
 def test_dispatch_env_override(monkeypatch):
     monkeypatch.setenv("ENDODAV_NO_WARP_MM", "1")
     assert not sampling._use_mm_kernel(256, 320, 3)
