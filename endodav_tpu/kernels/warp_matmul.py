@@ -26,6 +26,23 @@ just the transposed matmul**: d_img = dot(OHYt, dRt contracting Pb) and
 the coordinate gradients are two more one-hot matmuls, replacing XLA's
 even-slower scatter chains.
 
+Windowing (round 3): warp flows are local, so one pixel chunk's source
+footprint is a small sub-rectangle of the image — yet the base
+formulation contracts/masks over ALL H rows and W*C lanes.  Two layered
+cuts, each with a per-chunk plan precomputed on the XLA side and
+scalar-prefetched to SMEM, and each with an exact full-size fallback
+branch for chunks whose footprint doesn't fit (results are identical
+for ANY coordinates — one-hot selection means the trimmed region only
+ever contributed exact zeros):
+
+  * row bands: an 8-aligned `_BAND`-row window per chunk cuts the MXU
+    contraction H -> _BAND (4x at H=256);
+  * lane windows (`ENDODAV_WARP_TILE=1`): pixels are re-ordered into
+    th x tw spatial tiles per chunk (pure reshape/transpose on the XLA
+    side) so the chunk's x-footprint is tile-sized too, and a
+    128-aligned 128-pixel lane window cuts the stage-2 VPU masking
+    W*C -> 128*C (2.5x at W=320, C=3).
+
 Data-layout notes (learned the hard way on real hardware):
   * Corner indices/weights travel as ONE packed f32 array [B, 8, Ppad]
     (rows: y0,y1,wy0,wy1,x0,x1,wx0,wx1).  A [B, P, 1] layout is
@@ -37,6 +54,8 @@ Data-layout notes (learned the hard way on real hardware):
   * Each kernel's blocks are constant over the pixel-chunk grid axis,
     so coords/img stay resident in VMEM across chunks; the chunk slice
     is an in-kernel dynamic lane slice at 128-aligned offsets.
+  * Lane windows require the image lane count padded to a multiple of
+    128 (zero pad; the one-hot masks never select pad lanes).
 
 The forward splat (occupancy map) is the transpose of the same
 structure: occ += dot(At [H, Pc], Bt [W, Pc] contracting Pc) with
@@ -159,15 +178,8 @@ def _read_coords(c_ref, start, pb):
     return [c_ref[0, r:r + 1, pl.ds(start, pb)] for r in range(8)]
 
 
-# Row-band optimization: warp flows are local, so a 128-pixel raster
-# chunk's source rows usually span just a few image rows — yet every
-# one-hot contraction runs over ALL H rows (the formulation's intrinsic
-# H*WC*P cost).  Each chunk gets a precomputed 8-aligned _BAND-row
-# window (scalar-prefetched to SMEM); when the chunk's rows fit, the
-# kernels contract over the 64-row sub-image (4x less MXU work at
-# H=256), and fall back to the exact full-height path otherwise — so
-# results are bit-identical for ANY coordinates, banded or not.
-_BAND = 64
+_BAND = int(os.environ.get("ENDODAV_WARP_BAND", "64"))  # rows, multiple of 8
+_LANE = 128  # TPU lane width: x-window size/alignment unit (in lanes)
 
 
 def _banding_enabled(h: int) -> bool:
@@ -176,21 +188,73 @@ def _banding_enabled(h: int) -> bool:
     return h > _BAND and not os.environ.get("ENDODAV_WARP_NOBAND")
 
 
-def _band_plan(packed, h, pb):
-    """Per-(batch, chunk) banded-row plan from the packed coords:
-    8-aligned band start [B, nc] i32 + in-band flag [B, nc] i32.
+def _tiling_enabled() -> bool:
+    """Spatial-tile pixel ordering + lane windows (ENDODAV_WARP_TILE=1;
+    off by default until device-measured)."""
+    return bool(os.environ.get("ENDODAV_WARP_TILE"))
+
+
+def _lane_window(C: int) -> int:
+    """Lane-window width: starts are 128-aligned, so a tile span that
+    crosses a 128-lane boundary only fits a window strictly wider than
+    the alignment quantum — 2 vregs minimum (C*128 covers C >= 2)."""
+    return max(2, C) * _LANE
+
+
+def _tile_shape(pb, ho, wo):
+    """th x tw spatial tile holding exactly one pb-pixel chunk, or None
+    when the output grid doesn't divide into such tiles."""
+    th = 8 if pb == 128 else 16
+    tw = pb // th
+    if ho % th or wo % tw:
+        return None
+    return th, tw
+
+
+def _tile_cols(a, th, tw):
+    """[..., Ho, Wo] -> [..., Ho*Wo] in tile-major pixel order."""
+    *lead, ho, wo = a.shape
+    nd = len(lead)
+    a = a.reshape(*lead, ho // th, th, wo // tw, tw)
+    perm = tuple(range(nd)) + (nd, nd + 2, nd + 1, nd + 3)
+    return a.transpose(*perm).reshape(*lead, ho * wo)
+
+
+def _untile_cols(a, th, tw, ho, wo):
+    """Inverse of `_tile_cols` on the last axis: tile order -> raster."""
+    *lead, _ = a.shape
+    nd = len(lead)
+    a = a.reshape(*lead, ho // th, wo // tw, th, tw)
+    perm = tuple(range(nd)) + (nd, nd + 2, nd + 1, nd + 3)
+    return a.transpose(*perm).reshape(*lead, ho * wo)
+
+
+def _band_plan(packed, h, pb, wcp=None, lw=None, C=1):
+    """Per-(batch, chunk) window plan from the packed coords: 8-aligned
+    row start [B, nc] i32, 128-aligned lane start [B, nc] i32 (zeros
+    when lane windowing is off), and an in-window flag [B, nc] i32 (the
+    y corners fit the _BAND-row window AND — when `lw` is set — the x
+    corners fit the lw-lane window at the plan's start).
 
     Pad pixels replicate the last real pixel's indices (_pad_packed), so
-    a final partial chunk still gets a real banded plan."""
+    a final partial chunk still gets a real plan."""
     b, _, ppad = packed.shape
     nc = ppad // pb
-    y0 = packed[:, 0, :].reshape(b, nc, pb)
-    y1 = packed[:, 1, :].reshape(b, nc, pb)
-    lo = jnp.min(y0, axis=2)
-    hi = jnp.max(y1, axis=2)
+    rows = lambda r: packed[:, r, :].reshape(b, nc, pb)
+    lo = jnp.min(rows(0), axis=2)
+    hi = jnp.max(rows(1), axis=2)
     start = jnp.minimum(jnp.floor(lo / 8.0) * 8.0, float(max(h - _BAND, 0)))
     ok = (hi - start) <= float(_BAND - 1)
-    return start.astype(jnp.int32), ok.astype(jnp.int32)
+    if lw is None:
+        lane = jnp.zeros_like(start)
+    else:
+        xlo = jnp.min(rows(4), axis=2) * float(C)
+        xhi = (jnp.max(rows(5), axis=2) + 1.0) * float(C) - 1.0
+        lane = jnp.minimum(jnp.floor(xlo / _LANE) * _LANE,
+                           float(max(wcp - lw, 0)))
+        ok = ok & ((xhi - lane) <= float(lw - 1))
+    return (start.astype(jnp.int32), lane.astype(jnp.int32),
+            ok.astype(jnp.int32))
 
 
 def _ohyt(y0, y1, wy0, wy1, h, pb, row0=0):
@@ -202,50 +266,57 @@ def _ohyt(y0, y1, wy0, wy1, h, pb, row0=0):
             + wy1 * (ioh == y1.astype(jnp.int32)))
 
 
-def _ohxt(x0, x1, wx0, wx1, wc, pb, C):
-    """Weighted x one-hot on the [W*C, Pb] grid (sublane l -> w = l//C)."""
-    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+def _ohxt(x0, x1, wx0, wx1, wc, pb, C, l0=0):
+    """Weighted x one-hot on the [wc, Pb] lane-window grid (absolute lane
+    al = l0 + sublane -> w = al//C)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0) + l0
     sub_w = sub // C if C > 1 else sub
     return (wx0 * (sub_w == x0.astype(jnp.int32))
             + wx1 * (sub_w == x1.astype(jnp.int32)))
 
 
-def _chan_mask(wc, pb, C, c):
-    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+def _chan_mask(wc, pb, C, c, l0=0):
+    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0) + l0
     return (sub - (sub // C) * C) == c
 
 
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(band_ref, ok_ref, c_ref, img_ref, o_ref, *, C: int, pb: int,
-                banded: bool):
+def _fwd_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, o_ref, *,
+                C: int, pb: int, banded: bool, lw):
     bi, pi = pl.program_id(0), pl.program_id(1)
     start = pi * pb
     y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
     H, WC = img_ref.shape[1], img_ref.shape[2]
 
-    def x_stage(rt):
-        t = rt * _ohxt(x0, x1, wx0, wx1, WC, pb, C)
+    def x_stage(rt, wc, l0):
+        t = rt * _ohxt(x0, x1, wx0, wx1, wc, pb, C, l0)
         if C == 1:
             return jnp.sum(t, axis=0, keepdims=True)
         return jnp.concatenate(
-            [jnp.sum(t * _chan_mask(WC, pb, C, c), axis=0, keepdims=True)
+            [jnp.sum(t * _chan_mask(wc, pb, C, c, l0), axis=0, keepdims=True)
              for c in range(C)], axis=0)
 
     def full():
         ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
         rt = _dot3(img_ref[0], ohyt, ((0,), (0,)))  # [WC, pb]
-        o_ref[0, :, pl.ds(start, pb)] = x_stage(rt)
+        o_ref[0, :, pl.ds(start, pb)] = x_stage(rt, WC, 0)
 
     if banded:
         row0 = band_ref[bi, pi]
 
         @pl.when(ok_ref[bi, pi] != 0)
         def _banded():
-            sub = img_ref[0, pl.ds(row0, _BAND), :]
+            if lw is None:
+                sub = img_ref[0, pl.ds(row0, _BAND), :]
+                wc, l0 = WC, 0
+            else:
+                l0 = lane_ref[bi, pi]
+                sub = img_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)]
+                wc = lw
             ohyt = _ohyt(y0, y1, wy0, wy1, _BAND, pb, row0)
             rt = _dot3(sub, ohyt, ((0,), (0,)))
-            o_ref[0, :, pl.ds(start, pb)] = x_stage(rt)
+            o_ref[0, :, pl.ds(start, pb)] = x_stage(rt, wc, l0)
 
         @pl.when(ok_ref[bi, pi] == 0)
         def _full():
@@ -256,11 +327,12 @@ def _fwd_kernel(band_ref, ok_ref, c_ref, img_ref, o_ref, *, C: int, pb: int,
 
 # --------------------------------------------------------------- backward
 
-def _g_t(g, wc, pb, C):
-    """Expand gᵀ [C, Pb] onto the [W*C, Pb] grid: G[l, p] = g[l % C, p]."""
+def _g_t(g, wc, pb, C, l0=0):
+    """Expand gᵀ [C, Pb] onto the [wc, Pb] lane-window grid:
+    G[l, p] = g[(l0 + l) % C, p]."""
     if C == 1:
         return jnp.broadcast_to(g[0:1, :].astype(jnp.float32), (wc, pb))
-    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0) + l0
     sub_c = sub - (sub // C) * C
     acc = None
     for c in range(C):
@@ -269,8 +341,8 @@ def _g_t(g, wc, pb, C):
     return acc
 
 
-def _bwd_coord_kernel(band_ref, ok_ref, c_ref, img_ref, g_ref, dw_ref, *,
-                      C: int, pb: int, banded: bool):
+def _bwd_coord_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, g_ref,
+                      dw_ref, *, C: int, pb: int, banded: bool, lw):
     """d(out)/d(lerp weights) -> packed [1, 4, Ppad] rows
     (dwy0, dwy1, dwx0, dwx1); two 0/1 one-hot matmuls recover the
     per-corner row samples, the rest is elementwise + sublane reduces."""
@@ -279,20 +351,20 @@ def _bwd_coord_kernel(band_ref, ok_ref, c_ref, img_ref, g_ref, dw_ref, *,
     y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
     H, WC = img_ref.shape[1], img_ref.shape[2]
 
-    def core(img, rows, row0):
+    def core(img, rows, row0, wc, l0):
         ioh = jax.lax.broadcasted_iota(jnp.int32, (rows, pb), 0) + row0
         oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
         oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
-        r0 = _dot2_onehot(img, oh0, ((0,), (0,)))  # [WC, pb]
+        r0 = _dot2_onehot(img, oh0, ((0,), (0,)))  # [wc, pb]
         r1 = _dot2_onehot(img, oh1, ((0,), (0,)))
         rt = wy0 * r0 + wy1 * r1
 
-        sub = jax.lax.broadcasted_iota(jnp.int32, (WC, pb), 0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0) + l0
         sub_w = sub // C if C > 1 else sub
         m0 = (sub_w == x0.astype(jnp.int32)).astype(jnp.float32)
         m1 = (sub_w == x1.astype(jnp.int32)).astype(jnp.float32)
 
-        g = _g_t(g_ref[0, :, pl.ds(start, pb)], WC, pb, C)
+        g = _g_t(g_ref[0, :, pl.ds(start, pb)], wc, pb, C, l0)
         dr = g * (wx0 * m0 + wx1 * m1)
         gr = g * rt
         out = jnp.concatenate([
@@ -308,27 +380,33 @@ def _bwd_coord_kernel(band_ref, ok_ref, c_ref, img_ref, g_ref, dw_ref, *,
 
         @pl.when(ok_ref[bi, pi] != 0)
         def _banded():
-            core(img_ref[0, pl.ds(row0, _BAND), :], _BAND, row0)
+            if lw is None:
+                core(img_ref[0, pl.ds(row0, _BAND), :], _BAND, row0, WC, 0)
+            else:
+                l0 = lane_ref[bi, pi]
+                core(img_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)],
+                     _BAND, row0, lw, l0)
 
         @pl.when(ok_ref[bi, pi] == 0)
         def _full():
-            core(img_ref[0], H, 0)
+            core(img_ref[0], H, 0, WC, 0)
     else:
-        core(img_ref[0], H, 0)
+        core(img_ref[0], H, 0, WC, 0)
 
 
-def _bwd_img_kernel(band_ref, ok_ref, c_ref, g_ref, dimg_ref, *, C: int,
-                    pb: int, banded: bool):
+def _bwd_img_kernel(band_ref, lane_ref, ok_ref, c_ref, g_ref, dimg_ref, *,
+                    C: int, pb: int, banded: bool, lw):
     """d_img = dot(OHYt [H, Pb], dRt [WC, Pb] contracting Pb) -> [H, WC],
     accumulated over pixel chunks (banded chunks update only their
-    _BAND-row window)."""
+    _BAND-row x lw-lane window)."""
     bi, pi = pl.program_id(0), pl.program_id(1)
     start = pi * pb
     y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
     H, WC = dimg_ref.shape[1], dimg_ref.shape[2]
 
-    dr = (_g_t(g_ref[0, :, pl.ds(start, pb)], WC, pb, C)
-          * _ohxt(x0, x1, wx0, wx1, WC, pb, C))
+    def dr_of(wc, l0):
+        return (_g_t(g_ref[0, :, pl.ds(start, pb)], wc, pb, C, l0)
+                * _ohxt(x0, x1, wx0, wx1, wc, pb, C, l0))
 
     @pl.when(pi == 0)
     def _init():
@@ -340,16 +418,24 @@ def _bwd_img_kernel(band_ref, ok_ref, c_ref, g_ref, dimg_ref, *, C: int,
         @pl.when(ok_ref[bi, pi] != 0)
         def _banded():
             ohyt = _ohyt(y0, y1, wy0, wy1, _BAND, pb, row0)
-            upd = _dot3(ohyt, dr, ((1,), (1,)))  # [_BAND, WC]
-            dimg_ref[0, pl.ds(row0, _BAND), :] += upd.astype(dimg_ref.dtype)
+            if lw is None:
+                upd = _dot3(ohyt, dr_of(WC, 0), ((1,), (1,)))
+                dimg_ref[0, pl.ds(row0, _BAND), :] += upd.astype(dimg_ref.dtype)
+            else:
+                l0 = lane_ref[bi, pi]
+                upd = _dot3(ohyt, dr_of(lw, l0), ((1,), (1,)))
+                dimg_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)] += (
+                    upd.astype(dimg_ref.dtype))
 
         @pl.when(ok_ref[bi, pi] == 0)
         def _full():
             ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
-            dimg_ref[0] += _dot3(ohyt, dr, ((1,), (1,))).astype(dimg_ref.dtype)
+            dimg_ref[0] += _dot3(ohyt, dr_of(WC, 0), ((1,), (1,))).astype(
+                dimg_ref.dtype)
     else:
         ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
-        dimg_ref[0] += _dot3(ohyt, dr, ((1,), (1,))).astype(dimg_ref.dtype)
+        dimg_ref[0] += _dot3(ohyt, dr_of(WC, 0), ((1,), (1,))).astype(
+            dimg_ref.dtype)
 
 
 # ---------------------------------------------------------------- wrapper
@@ -367,6 +453,15 @@ def _cspec(ppad):
                         memory_space=pltpu.VMEM)
 
 
+def _grid_tile(out_sp, pb, h):
+    """Tile shape for a [B, Ho, Wo] coordinate grid, or None when tiling
+    is off / the grid doesn't divide / banding (which hosts the lane
+    window) is off."""
+    if not (_tiling_enabled() and len(out_sp) == 2 and _banding_enabled(h)):
+        return None
+    return _tile_shape(pb, out_sp[0], out_sp[1])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def grid_sample_mm(img, fx, fy, zeros_mode: bool = False,
                    align_corners: bool = True):
@@ -380,22 +475,34 @@ def _mm_forward(img, fx, fy, zeros_mode):
     b, h, w, c = img.shape
     out_sp = fx.shape[1:]
     pb = _pick_pb(c)
+    tile = _grid_tile(out_sp, pb, h)
+    if tile:
+        fx = _tile_cols(fx, *tile)
+        fy = _tile_cols(fy, *tile)
     packed, p, ppad = _pack_coords(fx, fy, h, w, zeros_mode, pb)
     # f32 once here instead of a per-chunk in-kernel cast (the image is
     # VMEM-resident across the chunk grid; the cast ran every chunk).
     imgf = img.reshape(b, h, w * c).astype(jnp.float32)
     banded = _banding_enabled(h)
-    band, ok = _band_plan(packed, h, pb)
+    wc = w * c
+    lw = _lane_window(c) if (tile and wc > _lane_window(c)) else None
+    if lw is not None:
+        wcp = _round_up(wc, _LANE)
+        if wcp != wc:
+            imgf = jnp.pad(imgf, ((0, 0), (0, 0), (0, wcp - wc)))
+    else:
+        wcp = wc
+    band, lane, ok = _band_plan(packed, h, pb, wcp, lw, c)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C=c, pb=pb, banded=banded),
+        functools.partial(_fwd_kernel, C=c, pb=pb, banded=banded, lw=lw),
         out_shape=jax.ShapeDtypeStruct((b, c, ppad), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, ppad // pb),
             in_specs=[
                 _cspec(ppad),
-                pl.BlockSpec((1, h, w * c), lambda bi, pi, *_: (bi, 0, 0),
+                pl.BlockSpec((1, h, wcp), lambda bi, pi, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, c, ppad), lambda bi, pi, *_: (bi, 0, 0),
@@ -404,9 +511,12 @@ def _mm_forward(img, fx, fy, zeros_mode):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(band, ok, packed, imgf)
-    # [B, C, Ppad] -> [B, *out_sp, C]
-    return jnp.moveaxis(out[:, :, :p], 1, 2).reshape(b, *out_sp, c)
+    )(band, lane, ok, packed, imgf)
+    out = out[:, :, :p]
+    if tile:
+        out = _untile_cols(out, *tile, out_sp[0], out_sp[1])
+    # [B, C, P] -> [B, *out_sp, C]
+    return jnp.moveaxis(out, 1, 2).reshape(b, *out_sp, c)
 
 
 def _mm_fwd(img, fx, fy, zeros_mode, align_corners):
@@ -416,59 +526,74 @@ def _mm_fwd(img, fx, fy, zeros_mode, align_corners):
 def _mm_bwd(zeros_mode, align_corners, res, g):
     img, fx, fy = res
     b, h, w, c = img.shape
+    out_sp2 = fx.shape[1:]
     pb = _pick_pb(c, backward=True)
-    packed, p, ppad = _pack_coords(fx, fy, h, w, zeros_mode, pb)
+    tile = _grid_tile(out_sp2, pb, h)
+    fxk, fyk = (_tile_cols(fx, *tile), _tile_cols(fy, *tile)) if tile else (fx, fy)
+    packed, p, ppad = _pack_coords(fxk, fyk, h, w, zeros_mode, pb)
     imgf = img.reshape(b, h, w * c).astype(jnp.float32)
     gt = jnp.moveaxis(g.reshape(b, p, c).astype(jnp.float32), 2, 1)  # [B, C, P]
+    if tile:
+        gt = _tile_cols(gt.reshape(b, c, *out_sp2), *tile)
     if ppad != p:
         gt = jnp.pad(gt, ((0, 0), (0, 0), (0, ppad - p)))
     banded = _banding_enabled(h)
-    band, ok = _band_plan(packed, h, pb)
+    wc = w * c
+    lw = _lane_window(c) if (tile and wc > _lane_window(c)) else None
+    if lw is not None:
+        wcp = _round_up(wc, _LANE)
+        if wcp != wc:
+            imgf = jnp.pad(imgf, ((0, 0), (0, 0), (0, wcp - wc)))
+    else:
+        wcp = wc
+    band, lane, ok = _band_plan(packed, h, pb, wcp, lw, c)
 
     grid = (b, ppad // pb)
     gspec = pl.BlockSpec((1, c, ppad), lambda bi, pi, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ispec = pl.BlockSpec((1, h, wcp), lambda bi, pi, *_: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
 
     # coordinate-weight grads (skipped by XLA DCE when the grid needs no
     # grad): packed rows (dwy0, dwy1, dwx0, dwx1)
     dw = pl.pallas_call(
-        functools.partial(_bwd_coord_kernel, C=c, pb=pb, banded=banded),
+        functools.partial(_bwd_coord_kernel, C=c, pb=pb, banded=banded, lw=lw),
         out_shape=jax.ShapeDtypeStruct((b, 4, ppad), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                _cspec(ppad),
-                pl.BlockSpec((1, h, w * c), lambda bi, pi, *_: (bi, 0, 0),
-                             memory_space=pltpu.VMEM),
-                gspec,
-            ],
+            in_specs=[_cspec(ppad), ispec, gspec],
             out_specs=pl.BlockSpec((1, 4, ppad), lambda bi, pi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(band, ok, packed, imgf, gt)
+    )(band, lane, ok, packed, imgf, gt)
 
     # image grad (skipped by XLA DCE when img is input data)
     dimg = pl.pallas_call(
-        functools.partial(_bwd_img_kernel, C=c, pb=pb, banded=banded),
-        out_shape=jax.ShapeDtypeStruct((b, h, w * c), jnp.float32),
+        functools.partial(_bwd_img_kernel, C=c, pb=pb, banded=banded, lw=lw),
+        out_shape=jax.ShapeDtypeStruct((b, h, wcp), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[_cspec(ppad), gspec],
-            out_specs=pl.BlockSpec((1, h, w * c), lambda bi, pi, *_: (bi, 0, 0),
+            out_specs=pl.BlockSpec((1, h, wcp), lambda bi, pi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(band, ok, packed, gt)
+    )(band, lane, ok, packed, gt)
+    if wcp != wc:
+        dimg = dimg[:, :, :wc]
 
+    dw = dw[:, :, :p]
+    if tile:
+        dw = _untile_cols(dw, *tile, out_sp2[0], out_sp2[1])
     out_sp = fx.shape
-    dwy0, dwy1, dwx0, dwx1 = (dw[:, i, :p] for i in range(4))
+    dwy0, dwy1, dwx0, dwx1 = (dw[:, i, :] for i in range(4))
     # w1 = frac(f) * v1, w0 = (1 - frac(f)) * v0 with v the zeros-mode
     # inside masks (v == 1 in border mode)  =>  d_f = d_w1*v1 - d_w0*v0
     if zeros_mode:
@@ -495,21 +620,24 @@ grid_sample_mm.defvjp(_mm_fwd, _mm_bwd)
 
 # ------------------------------------------------------------------ splat
 
-def _splat_kernel(band_ref, ok_ref, c_ref, occ_ref, *, H: int, W: int,
-                  pb: int, banded: bool):
+def _splat_kernel(band_ref, lane_ref, ok_ref, c_ref, occ_ref, *, H: int,
+                  W: int, pb: int, banded: bool, lw):
     """occ += dot(At [H, Pc], Bt [W, Pc] contracting Pc): At one-hot over
     target rows, Bt over target cols, each carrying its axis' weights.
-    Banded chunks accumulate only their _BAND-row window."""
+    Banded chunks accumulate only their _BAND-row (x lw-lane) window."""
     bi, pi = pl.program_id(0), pl.program_id(1)
     start = pi * pb
     y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
-    iow = jax.lax.broadcasted_iota(jnp.int32, (W, pb), 0)
-    bt = (wx0 * (iow == x0.astype(jnp.int32))
-          + wx1 * (iow == x1.astype(jnp.int32)))  # [W, pb]
+    Wp = occ_ref.shape[2]
+
+    def bt_of(w_lanes, l0):
+        iow = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, pb), 0) + l0
+        return (wx0 * (iow == x0.astype(jnp.int32))
+                + wx1 * (iow == x1.astype(jnp.int32)))  # [w_lanes, pb]
 
     @pl.when(pi == 0)
     def _init():
-        occ_ref[0] = jnp.zeros((H, W), occ_ref.dtype)
+        occ_ref[0] = jnp.zeros((H, Wp), occ_ref.dtype)
 
     if banded:
         row0 = band_ref[bi, pi]
@@ -517,15 +645,21 @@ def _splat_kernel(band_ref, ok_ref, c_ref, occ_ref, *, H: int, W: int,
         @pl.when(ok_ref[bi, pi] != 0)
         def _banded():
             at = _ohyt(y0, y1, wy0, wy1, _BAND, pb, row0)
-            occ_ref[0, pl.ds(row0, _BAND), :] += _dot3(at, bt, ((1,), (1,)))
+            if lw is None:
+                occ_ref[0, pl.ds(row0, _BAND), :] += _dot3(
+                    at, bt_of(Wp, 0), ((1,), (1,)))
+            else:
+                l0 = lane_ref[bi, pi]
+                occ_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)] += _dot3(
+                    at, bt_of(lw, l0), ((1,), (1,)))
 
         @pl.when(ok_ref[bi, pi] == 0)
         def _full():
             at = _ohyt(y0, y1, wy0, wy1, H, pb)
-            occ_ref[0] += _dot3(at, bt, ((1,), (1,)))
+            occ_ref[0] += _dot3(at, bt_of(Wp, 0), ((1,), (1,)))
     else:
         at = _ohyt(y0, y1, wy0, wy1, H, pb)
-        occ_ref[0] += _dot3(at, bt, ((1,), (1,)))
+        occ_ref[0] += _dot3(at, bt_of(Wp, 0), ((1,), (1,)))
 
 
 def _splat_corners(f, size):
@@ -544,9 +678,16 @@ def _splat_corners(f, size):
 
 def splat_mm(x, y, height: int, width: int):
     """Forward-splat unit bilinear mass at pixel coords x, y [B, P].
-    Returns the occupancy map [B, height, width] (f32)."""
+    Returns the occupancy map [B, height, width] (f32).  When P equals
+    height*width the pixels are assumed raster-ordered over that grid
+    (true for the warp losses), which enables tile windowing."""
     b, p = x.shape
     pb = 512
+    tile = (_grid_tile((height, width), pb, height)
+            if p == height * width else None)
+    if tile:
+        x = _tile_cols(x.reshape(b, height, width), *tile)
+        y = _tile_cols(y.reshape(b, height, width), *tile)
     pad = _round_up(p, pb) - p
     x0, x1, wx0, wx1 = _splat_corners(x.astype(jnp.float32), width)
     y0, y1, wy0, wy1 = _splat_corners(y.astype(jnp.float32), height)
@@ -554,22 +695,24 @@ def splat_mm(x, y, height: int, width: int):
         jnp.stack([y0, y1, wy0, wy1, x0, x1, wx0, wx1], axis=1), pad)
     ppad = p + pad
     banded = _banding_enabled(height)
-    band, ok = _band_plan(packed, height, pb)
+    lw = _lane_window(1) if (tile and width > _lane_window(1)) else None
+    wp = _round_up(width, _LANE) if lw is not None else width
+    band, lane, ok = _band_plan(packed, height, pb, wp, lw, 1)
 
     occ = pl.pallas_call(
         functools.partial(_splat_kernel, H=height, W=width, pb=pb,
-                          banded=banded),
-        out_shape=jax.ShapeDtypeStruct((b, height, width), jnp.float32),
+                          banded=banded, lw=lw),
+        out_shape=jax.ShapeDtypeStruct((b, height, wp), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, ppad // pb),
             in_specs=[_cspec(ppad)],
-            out_specs=pl.BlockSpec((1, height, width),
+            out_specs=pl.BlockSpec((1, height, wp),
                                    lambda bi, pi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(band, ok, packed)
-    return occ
+    )(band, lane, ok, packed)
+    return occ[:, :, :width] if wp != width else occ

@@ -155,7 +155,7 @@ def test_grid_sample_mm_banded_path(local):
     # the plan must actually produce band hits for local flows (else this
     # test would silently only exercise the fallback)
     packed, _, _ = wm._pack_coords(fx, fy, h, w, False, wm._pick_pb(c))
-    _, ok = wm._band_plan(packed, h, wm._pick_pb(c))
+    _, _, ok = wm._band_plan(packed, h, wm._pick_pb(c))
     if local:
         assert float(jnp.mean(ok.astype(jnp.float32))) > 0.9
     else:
@@ -226,7 +226,7 @@ def test_grid_sample_mm_band_edges(c, h):
     fx = jnp.asarray(RNG.uniform(-2, w + 1, (b, 16, 20)).astype(np.float32))
 
     packed, _, _ = wm._pack_coords(fx, fy, h, w, False, wm._pick_pb(c))
-    band, ok = wm._band_plan(packed, h, wm._pick_pb(c))
+    band, _, ok = wm._band_plan(packed, h, wm._pick_pb(c))
     assert int(jnp.max(band)) <= h - wm._BAND  # clamp held
     assert float(jnp.mean(ok.astype(jnp.float32))) > 0.9  # banded route taken
 
@@ -255,6 +255,90 @@ def test_splat_mm_band_bottom_clamp():
     want = sampling._splat_xla(coords, h, w)
     with pltpu.force_tpu_interpret_mode():
         got = splat_mm(jnp.asarray(fx), jnp.asarray(fy), h, w)
+    np.testing.assert_allclose(np.asarray(got).reshape(b, h, w, 1),
+                               np.asarray(want), atol=1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("c", [1, 3])
+@pytest.mark.parametrize("local", [True, False])
+def test_grid_sample_mm_tiled_lane_windows(monkeypatch, c, local):
+    """ENDODAV_WARP_TILE=1: tile-ordered chunks + 128-px lane windows.
+    Local flows take the windowed route (asserted via the plan); scattered
+    coords fall back — both must match the gather oracle, fwd + grads."""
+    from endodav_tpu.kernels import warp_matmul as wm
+
+    monkeypatch.setenv("ENDODAV_WARP_TILE", "1")
+    b, h, w = 1, 96, 160  # divisible by every tile shape; w*c > lane window
+    img = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    if local:
+        fx = xx[None] + RNG.uniform(-3, 3, (b, h, w)).astype(np.float32)
+        fy = yy[None] + RNG.uniform(-3, 3, (b, h, w)).astype(np.float32)
+    else:
+        fx = RNG.uniform(-3, w + 2, (b, h, w)).astype(np.float32)
+        fy = RNG.uniform(-3, h + 2, (b, h, w)).astype(np.float32)
+    fx, fy = jnp.asarray(fx), jnp.asarray(fy)
+
+    # the plan must produce windowed hits for local flows
+    pb = wm._pick_pb(c)
+    tile = wm._tile_shape(pb, h, w)
+    assert tile is not None
+    packed, _, _ = wm._pack_coords(wm._tile_cols(fx, *tile),
+                                   wm._tile_cols(fy, *tile), h, w, False, pb)
+    lw = wm._lane_window(c)
+    wcp = wm._round_up(w * c, wm._LANE)
+    _, lane, ok = wm._band_plan(packed, h, pb, wcp, lw, c)
+    rate = float(jnp.mean(ok.astype(jnp.float32)))
+    assert (rate > 0.9) if local else (rate < 0.5)
+    assert int(jnp.max(lane)) <= wcp - lw and int(jnp.max(lane)) % 128 == 0
+
+    def to_grid(fx, fy):
+        gx = fx / (w - 1) * 2.0 - 1.0
+        gy = fy / (h - 1) * 2.0 - 1.0
+        return jnp.stack([gx, gy], axis=-1)
+
+    want = sampling.grid_sample(img, to_grid(fx, fy), padding_mode="border",
+                                align_corners=True)
+    wgt = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
+
+    def loss_ker(img, fx, fy):
+        return (wm.grid_sample_mm(img, fx, fy, False, True) * wgt).sum()
+
+    def loss_ref(img, fx, fy):
+        return (sampling.grid_sample(img, to_grid(fx, fy),
+                                     padding_mode="border",
+                                     align_corners=True) * wgt).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        got = wm.grid_sample_mm(img, fx, fy, False, True)
+        gk = jax.grad(loss_ker, argnums=(0, 1, 2))(img, fx, fy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-5)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(img, fx, fy)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_splat_mm_tiled_matches_scatter(monkeypatch):
+    from endodav_tpu.kernels.warp_matmul import splat_mm
+
+    monkeypatch.setenv("ENDODAV_WARP_TILE", "1")
+    b, h, w = 1, 96, 160
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    # local flow, with a scattered block and a right-edge block (the lane
+    # clamp at wp - lw) to force both window clamps and fallbacks
+    fx = xx[None] + RNG.uniform(-3, 3, (b, h, w)).astype(np.float32)
+    fy = yy[None] + RNG.uniform(-3, 3, (b, h, w)).astype(np.float32)
+    fy[:, :8] = RNG.uniform(0, h - 1, (b, 8, w)).astype(np.float32)
+    fx[:, 8:16] = RNG.uniform(w - 20, w - 1, (b, 8, w)).astype(np.float32)
+    coords = jnp.asarray(np.stack([fx, fy], axis=-1))
+    want = sampling._splat_xla(coords, h, w)
+    with pltpu.force_tpu_interpret_mode():
+        got = splat_mm(coords[..., 0].reshape(b, -1),
+                       coords[..., 1].reshape(b, -1), h, w)
     np.testing.assert_allclose(np.asarray(got).reshape(b, h, w, 1),
                                np.asarray(want), atol=1e-4, rtol=1e-5)
 
