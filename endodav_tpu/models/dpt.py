@@ -21,6 +21,7 @@ Structure (all channels-last [B, H, W, C]):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -52,7 +53,17 @@ class ResidualConvUnit(nn.Module):
 
 
 class FeatureFusionBlock(nn.Module):
-    """Fuse an optional skip, refine, upsample (align_corners=True), 1x1."""
+    """Fuse an optional skip, refine, upsample (align_corners=True), 1x1.
+
+    The reference applies the 1x1 ``out_conv`` AFTER the bilinear upsample
+    (util/blocks.py:94-162).  A 1x1 conv acts on channels only and the
+    separable bilinear resize acts on space only, so the two commute
+    exactly (tensor product of linear maps); running ``out_conv`` at the
+    LOW resolution does ~4x less conv work and saves two high-resolution
+    HBM passes per fusion block on the serving path.  Weights/params are
+    identical either way.  ``ENDODAV_HIRES_OUTCONV=1`` restores the
+    reference operation order (bit-level parity debugging).
+    """
 
     features: int
     use_bn: bool = False
@@ -65,8 +76,12 @@ class FeatureFusionBlock(nn.Module):
         x = ResidualConvUnit(self.features, self.use_bn, self.dtype, name="resConfUnit2")(x, train)
         if size is None:
             size = (x.shape[1] * 2, x.shape[2] * 2)
-        x = resize2d(x, size, "bilinear", align_corners=True)
-        return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
+        out_conv = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")
+        if os.environ.get("ENDODAV_HIRES_OUTCONV"):
+            x = resize2d(x, size, "bilinear", align_corners=True)
+            return out_conv(x)
+        x = out_conv(x)
+        return resize2d(x, size, "bilinear", align_corners=True)
 
 
 class HeadDepth(nn.Module):

@@ -202,7 +202,11 @@ class TemporalTransformerBlock(nn.Module):
             # the XLA oracle (custom_vjp), which costs one extra forward vs
             # XLA autodiff reusing its own intermediates — a likely net
             # loss inside the train step until measured otherwise.
-            fused = not train and _use_fused_block(self.pos_embedding_type, self.dim)
+            # ENDODAV_FUSED_TRAIN=1 opts the train step in (A/B switch).
+            import os
+            allow_train = bool(os.environ.get("ENDODAV_FUSED_TRAIN"))
+            fused = ((not train or allow_train)
+                     and _use_fused_block(self.pos_embedding_type, self.dim))
         for i in range(self.num_attention_blocks):
             attn = TemporalAttention(
                 self.dim, self.num_heads, self.temporal_max_len,

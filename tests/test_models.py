@@ -232,3 +232,24 @@ def test_merge_lora_endodac_model():
             == jax.tree_util.tree_structure(merged))
     got = m_none.apply({"params": merged}, x)[("disp", 0)]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_ffb_outconv_commutes_with_resize(monkeypatch):
+    """The serving-order rewrite (1x1 out_conv BEFORE the bilinear
+    upsample) must equal the reference order (util/blocks.py:94-162,
+    out_conv after F.interpolate) — a 1x1 conv acts on channels only, a
+    separable resize on space only, so they commute exactly."""
+    from endodav_tpu.models.dpt import FeatureFusionBlock
+
+    x = jnp.asarray(RNG.normal(size=(2, 9, 11, 16)), jnp.float32)
+    skip = jnp.asarray(RNG.normal(size=(2, 9, 11, 16)), jnp.float32)
+    blk = FeatureFusionBlock(features=16)
+    params = blk.init(jax.random.PRNGKey(0), x, skip, (18, 22))
+
+    monkeypatch.delenv("ENDODAV_HIRES_OUTCONV", raising=False)
+    lowres = blk.apply(params, x, skip, (18, 22))
+    monkeypatch.setenv("ENDODAV_HIRES_OUTCONV", "1")
+    hires = blk.apply(params, x, skip, (18, 22))
+    assert lowres.shape == hires.shape == (2, 18, 22, 16)
+    np.testing.assert_allclose(np.asarray(lowres), np.asarray(hires),
+                               rtol=2e-5, atol=2e-5)

@@ -1,0 +1,59 @@
+#!/bin/bash
+# Round-3 device measurement agenda — one unattended pass for a flaky
+# tunnel window.  Each stage appends to /tmp/tpu_r3/<stage>.log and is
+# skipped if its .done marker exists, so the script is safe to re-run
+# after a tunnel drop.
+#
+#   bash tools/tpu_session_r3.sh
+#
+# Stages:
+#   warp     bench_warp_windows: full/band/tile/band32/tile32 step A/B
+#   outconv  FFB low-res out_conv vs reference order (518 + 224 serving)
+#   ftrain   ENDODAV_FUSED_TRAIN=1 vs default train-step profile
+#   bench    bench.py headline (new serving config)
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/tpu_r3
+mkdir -p "$OUT"
+
+stage() {  # stage <name> <cmd...>
+  local name=$1; shift
+  if [ -f "$OUT/$name.done" ]; then
+    echo "== $name: already done, skipping"
+    return 0
+  fi
+  echo "== $name: $(date)"
+  if "$@" >> "$OUT/$name.log" 2>&1; then
+    touch "$OUT/$name.done"
+    echo "== $name OK"
+  else
+    echo "== $name FAILED (rc=$?) — see $OUT/$name.log"
+  fi
+}
+
+stage warp python -u tools/bench_warp_windows.py --steps 2 \
+    --modes full,band,tile,band32,tile32
+
+run_outconv() {
+  for cfg in 518 224; do
+    echo "--- config $cfg, low-res out_conv (default)"
+    python -u tools/bench_fused_e2e.py --config "$cfg" --iters 6 || return 1
+    echo "--- config $cfg, reference order (ENDODAV_HIRES_OUTCONV=1)"
+    ENDODAV_HIRES_OUTCONV=1 python -u tools/bench_fused_e2e.py \
+        --config "$cfg" --iters 6 || return 1
+  done
+}
+stage outconv run_outconv
+
+run_ftrain() {
+  echo "--- default (XLA temporal in train)"
+  python -u tools/profile_train_step.py --steps 2 || return 1
+  echo "--- ENDODAV_FUSED_TRAIN=1"
+  ENDODAV_FUSED_TRAIN=1 python -u tools/profile_train_step.py --steps 2 \
+      || return 1
+}
+stage ftrain run_ftrain
+
+stage bench python -u bench.py
+
+echo "== all stages attempted; logs in $OUT"
