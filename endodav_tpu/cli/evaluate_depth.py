@@ -71,27 +71,43 @@ def evaluate(opt):
     errors, ratios = [], []
     saved_disps = []
     for i, item in enumerate(items):
-        if "depth_gt" in item:
-            gt = item["depth_gt"][..., 0]
-        elif gt_depths is not None:
+        # endovis uses the EXPORTED gt (scene_points at frame_id-1,
+        # evaluate_depth.py:170-171); hamlyn/c3vd use the dataset's depth
+        if gt_depths is not None:
             gt = gt_depths[i]
+        elif "depth_gt" in item:
+            gt = item["depth_gt"][..., 0]
         else:
             continue
         disp = pred_disps[i] if pred_disps is not None else model_disps[i]
+        # the reference resizes with cv2.resize (INTER_LINEAR, half-pixel
+        # sampling — NOT align_corners) before inverting
+        # (evaluate_depth.py:182-184)
         disp = np.asarray(
-            resize2d(jnp.asarray(disp[None, ..., None]), gt.shape[:2], "bilinear", align_corners=True)
+            resize2d(jnp.asarray(disp[None, ..., None]), gt.shape[:2], "bilinear", align_corners=False)
         )[0, ..., 0]
         saved_disps.append(disp)
-        _, pred = disp_to_depth(disp, opt.min_depth, opt.max_depth)
-        pred = np.asarray(pred)
+        if pred_disps is not None:
+            # ext npy files hold ALREADY-SCALED disparity (the reference
+            # inverts them directly, evaluate_depth.py:164-165,184)
+            scaled = disp
+        else:
+            # model path: disp_to_depth's affine scaling commutes exactly
+            # with the bilinear resize, so scaling after the resize equals
+            # the reference's scale-then-resize (evaluate_depth.py:161-163)
+            scaled, _ = disp_to_depth(disp, opt.min_depth, opt.max_depth)
+            scaled = np.asarray(scaled)
+        pred = 1.0 / scaled
         mask = (gt > 1e-3) & (gt < max_depth)
         if mask.sum() == 0:
             continue
+        # scale factor applies BEFORE median scaling (evaluate_depth.py:204-210)
+        pred = pred * opt.pred_depth_scale_factor
         if not opt.disable_median_scaling:
             ratio = np.median(gt[mask]) / np.median(pred[mask])
             ratios.append(ratio)
             pred = pred * ratio
-        pred = np.clip(pred * opt.pred_depth_scale_factor, 1e-3, max_depth)
+        pred = np.clip(pred, 1e-3, max_depth)
         errors.append(M.compute_errors(gt, pred, mask))
 
     if opt.save_pred_disps and pred_disps is None and opt.load_weights_folder:
@@ -100,11 +116,15 @@ def evaluate(opt):
         np.save(out, np.array(saved_disps, dtype=object), allow_pickle=True)
         print(f"saved predicted disparities to {out}")
 
-    mean_errors = np.array(errors).mean(0)
+    errors = np.array(errors)
+    mean_errors = errors.mean(0)
     if ratios:
         med = np.median(ratios)
         print(f" Scaling ratios | med: {med:.3f} | std: {np.std(ratios / med):.3f}")
     print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, mean_errors)))
+    # per-metric 95% CI row (evaluate_depth.py:225-231)
+    cls = [engine.confidence_interval_95(errors[:, i]) for i in range(len(HEADER))]
+    print("cls: " + " ".join(f"[{lo:.4f}, {hi:.4f}]" for lo, hi in cls))
     if times:
         print(f"average inference time: {np.mean(times):.2f} ms/frame")
     return mean_errors

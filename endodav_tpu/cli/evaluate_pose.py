@@ -41,7 +41,9 @@ def evaluate(opt, split: str = "endovis"):
             continue
         gt_local = np.load(gt_path, fix_imports=True, encoding="latin1")["data"]
         pairs = _sequence_pairs(opt, filenames)
-        res = engine.evaluate_pose_pairs(opt, gt_local, pairs)
+        # evaluate_pose.py:183-190: gt_count-1 track windows
+        res = engine.evaluate_pose_pairs(opt, gt_local, pairs,
+                                         num_tracks=gt_local.shape[0] - 1)
         results[seq] = res
         all_intr.append(res["pred_intrinsics"])
         out_dir = os.path.join(engine.SPLITS_DIR, split, "curve")

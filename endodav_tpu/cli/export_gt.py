@@ -46,17 +46,22 @@ def export_gt_depth(data_path: str, split: str, useage: str = "eval"):
 
 def export_gt_pose(data_path: str, split: str, sequence: int):
     lines = readlines(os.path.join(SPLITS_DIR, split, f"test_files_sequence{sequence}.txt"))
-    poses = []
+    # One relative pose PER SPLIT LINE, between frame_id-1 and frame_id:
+    # T = P_{f} @ pinv(P_{f-1})  (export_gt_pose.py:38-57 — note this is
+    # offset one frame from the pairs the pose network is evaluated on,
+    # a reference-protocol quirk kept for parity).
+    gt_local = []
     for line in lines:
         parts = line.split()
         folder, frame_index = parts[0], int(parts[1])
-        p = os.path.join(data_path, _split_prefix(folder), folder, "data",
-                         "frame_data", f"frame_data{frame_index:06d}.json")
-        poses.append(read_pose_json(p))
-    # relative pose between consecutive frames: T_rel = P_{i+1} @ inv(P_i)
-    gt_local = []
-    for i in range(len(poses) - 1):
-        gt_local.append((poses[i + 1] @ np.linalg.inv(poses[i])).astype(np.float32))
+
+        def pose_at(f):
+            p = os.path.join(data_path, _split_prefix(folder), folder, "data",
+                             "frame_data", f"frame_data{f:06d}.json")
+            return read_pose_json(p)
+
+        p0, p1 = pose_at(frame_index - 1), pose_at(frame_index)
+        gt_local.append((p1 @ np.linalg.pinv(p0)).astype(np.float32))
     out_dir = os.path.join(SPLITS_DIR, split, "curve")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, f"gt_poses_sequence{sequence}.npz")

@@ -294,11 +294,13 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
     return result
 
 
-def evaluate_pose_pairs(opt, gt_local_poses, colors_pairs, pose_modules=None):
+def evaluate_pose_pairs(opt, gt_local_poses, colors_pairs, pose_modules=None,
+                        num_tracks=None):
     """Pairwise pose inference + 5-frame track ATE/RE.
 
     colors_pairs: [N, H, W, 6] float32 stacked (frame_{t+1}, frame_t)
     pairs (evaluate_pose.py:128-133 input order: cat(color_1, color_0)).
+    num_tracks: number of 5-frame track windows (see comment at the loop).
     """
     if pose_modules is None:
         enc = ResNetEncoder(opt.num_layers, num_input_images=2)
@@ -338,7 +340,14 @@ def evaluate_pose_pairs(opt, gt_local_poses, colors_pairs, pose_modules=None):
     n = min(len(gt_local_poses), len(pred_poses))
     gt_local = np.asarray(gt_local_poses)[:n]
     pred_local = pred_poses[:n]
-    for i in range(n):
+    # Track-window count: the reference is inconsistent across drivers —
+    # evaluate_pose.py:183-190 loops gt_count-1 windows (exported per-line
+    # gt), while evaluate_depth_video_pose.py:281-288 loops gt_count
+    # (in-driver consecutive-frame gt).  Callers pass num_tracks to pick
+    # their driver's convention; default matches the latter.
+    if num_tracks is None:
+        num_tracks = n
+    for i in range(min(num_tracks, n)):
         local_xyzs = np.array(M.dump_xyz(pred_local[i : i + track - 1]))
         gt_xyzs = np.array(M.dump_xyz(gt_local[i : i + track - 1]))
         local_rs = np.array(M.dump_r(pred_local[i : i + track - 1]))

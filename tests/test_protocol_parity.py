@@ -61,3 +61,27 @@ def test_video_eval_driver_protocol_parity(synth_tree):
         "--lora_type", "lora",
     ])
     assert rc == 0, "protocol metrics diverged from the reference driver"
+
+
+@pytest.mark.slow
+def test_pose_eval_driver_protocol_parity(synth_tree):
+    """Reference evaluate_pose.py + export_gt_pose.py vs our CLIs on the
+    same randomized pose stack: gt npz exact, ATE/RE/CI + intrinsics
+    stats to print tolerance.  (The reference driver crashes as shipped —
+    mono_dataset.py:206-209 '# edit' unsqueeze vs torch.cat(dim=1) — and
+    runs under the wrapper's opt-in FIX_UNSQUEEZE reversal.)"""
+    from tools import parity_pose
+
+    rc = parity_pose.main(["--data_path", synth_tree])
+    assert rc == 0, "pose protocol diverged from the reference driver"
+
+
+@pytest.mark.slow
+def test_depth_eval_driver_protocol_parity(synth_tree):
+    """Reference evaluate_depth.py --ext_disp_to_eval + export_gt_depth.py
+    vs our CLIs on the same random disparity stack: gt npz exact,
+    ratio med/std + 7 metrics + per-metric CI to print tolerance."""
+    from tools import parity_depth
+
+    rc = parity_depth.main(["--data_path", synth_tree])
+    assert rc == 0, "depth-driver protocol diverged from the reference"
