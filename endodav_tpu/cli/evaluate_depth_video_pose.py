@@ -25,18 +25,34 @@ def evaluate(opt):
     forward = engine.depth_window_forward(model, variables, opt.model_type)
 
     depth_result = engine.evaluate_video_sequences(opt, sequences, forward)
+    # alignment summary (evaluate_depth_video_pose.py:322-333)
+    if opt.depth_align == "scale" and depth_result["ratios"]:
+        med = np.median(depth_result["ratios"])
+        print(f" Scaling ratios | med: {med:.3f} | std: {np.std(depth_result['ratios'] / med):.3f}")
+    elif depth_result["align_stats"]:
+        a = np.array(depth_result["align_stats"], dtype=np.float64)
+        print(" Aligning shift and scale | t_gt: {:.3f} | s_gt: {:.3f} | "
+              "t_pred: {:.3f} | s_pred: {:.3f}".format(*a.mean(axis=0)))
     vals = list(depth_result["mean_errors"]) + list(
         depth_result["mean_temporal"] if depth_result["mean_temporal"] is not None else [np.nan] * 2
     )
     print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, vals)))
+    # 9-wide CI row: 7 depth + tae/tas (evaluate_depth_video_pose.py:328-349)
+    errs, temps = depth_result["all_errors"], depth_result["all_temporal"]
+    if len(errs):
+        cls = [engine.confidence_interval_95(errs[:, i]) for i in range(errs.shape[1])]
+        if len(temps):
+            cls += [engine.confidence_interval_95(temps[:, i]) for i in range(temps.shape[1])]
+        print("cls: " + " ".join(f"[{lo:.4f}, {hi:.4f}]" for lo, hi in cls))
 
     pose_results = []
     for data in sequences:
         colors = data["colors"].astype(np.float32) / 255.0
+        # the reference feeds the pose network at the sequence's NATIVE
+        # resolution here (evaluate_depth_video_pose.py:256-262 — no
+        # resize, unlike evaluate_pose.py's 256x320 dataset pipeline);
+        # opt.height/width only normalize the intrinsics stats
         pairs = np.concatenate([colors[1:], colors[:-1]], axis=-1)
-        from endodav_tpu.data.pipeline import resize_frames
-
-        pairs = resize_frames(pairs, (opt.height, opt.width))
         gt_local = []
         for i in range(len(data["poses"]) - 1):
             gt_local.append((data["poses"][i + 1] @ np.linalg.inv(data["poses"][i])).astype(np.float32))

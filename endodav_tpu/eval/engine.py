@@ -207,7 +207,10 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
         if "pred_depths" in data:
             pred_depths = data["pred_depths"].astype(np.float64)
             if opt.disp2depth:
-                pred_depths = 1.0 / np.clip(pred_depths, 1e-6, None)
+                # reference: disp_to_depth's scaled inversion, not a raw
+                # reciprocal (evaluate_depth_video_hamlyn.py:178-180)
+                _, pred_depths = disp_to_depth(pred_depths, opt.min_depth, opt.max_depth)
+                pred_depths = np.asarray(pred_depths)
         else:
             t0 = time.time()
             if pred_depths_fn is not None:
@@ -284,8 +287,10 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
 
     result = {
         "mean_errors": np.array(errors).mean(0) if errors else np.full(7, np.nan),
+        "all_errors": np.array(errors),
         "ci": confidence_interval_95([e[0] for e in errors]),
         "mean_temporal": np.array(errors_temp).mean(0) if errors_temp else None,
+        "all_temporal": np.array(errors_temp),
         "per_sequence": per_sequence,
         "mean_infer_ms": float(np.mean(infer_times)) if infer_times else None,
         "ratios": ratios,

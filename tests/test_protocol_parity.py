@@ -85,3 +85,15 @@ def test_depth_eval_driver_protocol_parity(synth_tree):
 
     rc = parity_depth.main(["--data_path", synth_tree])
     assert rc == 0, "depth-driver protocol diverged from the reference"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("align", ["scale_shift", "scale"])
+def test_hamlyn_video_driver_protocol_parity(align):
+    """Reference evaluate_depth_video_hamlyn.py --pred_root vs our CLI on
+    the same synthetic tree + random depth npys: alignment stats, 7
+    metrics, per-metric CI (the tool generates its own tree)."""
+    from tools import parity_hamlyn
+
+    rc = parity_hamlyn.main(["--depth_align", align])
+    assert rc == 0, f"hamlyn protocol ({align}) diverged from the reference"

@@ -128,6 +128,19 @@ def main():
 
         _md.MonoDataset.__getitem__ = _squeezed_getitem
 
+    # ENDODAV_REF_STUB_VIS=1: stub the mp4/trajectory-plot writers.
+    # evaluate_depth_video_pose.py only defines eval_dir under
+    # --visualize_depth (:170-172) yet writes results_eval.txt/pose_eval.txt
+    # through it unconditionally (:252,:317) — so the driver NEEDS
+    # --visualize_depth to not crash, but save_video requires the absent
+    # imageio-ffmpeg plugin.  The stubs drop the visual artifacts only;
+    # every metric and npy write still runs.
+    if os.environ.get("ENDODAV_REF_STUB_VIS"):
+        import utils.eval_utils as _eu
+
+        _eu.save_video = lambda *a, **k: None
+        _eu.vis_pose_sq = lambda *a, **k: None
+
     sys.argv = [driver] + sys.argv[2:]
     runpy.run_path(driver, run_name="__main__")
 
