@@ -97,3 +97,17 @@ def test_hamlyn_video_driver_protocol_parity(align):
 
     rc = parity_hamlyn.main(["--depth_align", align])
     assert rc == 0, f"hamlyn protocol ({align}) diverged from the reference"
+
+
+@pytest.mark.slow
+def test_pose_video_driver_protocol_parity(synth_tree):
+    """Reference evaluate_depth_video_pose.py vs our CLI on the same
+    randomized endodav + pose stack: alignment stats, 9 metrics + CIs,
+    per-sequence ATE/RE/CI + intrinsics stats.  (The reference driver
+    needs --visualize_depth to define its own eval_dir and the
+    imageio-ffmpeg plugin is absent — wrapper ENDODAV_REF_STUB_VIS
+    drops the mp4/plot writers only.)"""
+    from tools import parity_pose_video
+
+    rc = parity_pose_video.main(["--data_path", synth_tree])
+    assert rc == 0, "combined driver protocol diverged from the reference"
