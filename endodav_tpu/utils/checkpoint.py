@@ -68,12 +68,31 @@ def save_components(folder: str, components: dict[str, Any], metadata: dict | No
 
 
 def load_components(folder: str, like: dict[str, Any], names=None) -> dict[str, Any]:
+    """Load per-component checkpoints: native .msgpack, or reference-style
+    torch .pth (trainer_end_to_end_video.py:save_model writes one .pth per
+    component) converted through the rule tables — so training can resume
+    directly from a reference checkpoint folder."""
     out = dict(like)
     for name in (names or like.keys()):
         path = os.path.join(folder, f"{name}.msgpack")
+        torch_path = os.path.join(folder, f"{name}.pth")
         if os.path.exists(path):
             out[name] = load_pytree(path, like[name])
+        elif os.path.exists(torch_path):
+            sd = load_torch_file(torch_path)
+            comp = _component_kind(name, sd)
+            out[name], _ = torch_to_flax(sd, comp, like[name])
+            print(f"[ckpt] converted {name}.pth ({comp} rules)")
     return out
+
+
+def _component_kind(name: str, sd: dict) -> str:
+    """Rule table for a per-component torch checkpoint by name/keys."""
+    if name == "depth_model":
+        return "endodac" if any(k.startswith("depth_head.") for k in sd) else "endodav"
+    if "encoder" in name:
+        return "resnet_encoder"
+    return "decoder"
 
 
 # ------------------------------------------------------- torch conversion

@@ -86,23 +86,109 @@ def _build_torchvision():
             return t.float() / 255.0 if t.dtype == torch.uint8 else t.float()
 
     class Resize:
-        def __init__(self, size, interpolation=2, **kwargs):
+        def __init__(self, size, interpolation=2, antialias=None, **kwargs):
             self.size = size  # (h, w)
             self.interpolation = interpolation
+            self.antialias = antialias
 
         def __call__(self, img):
             h, w = self.size if isinstance(self.size, (tuple, list)) else (self.size, self.size)
+            if isinstance(img, torch.Tensor):
+                # torchvision's tensor path routes to F.interpolate
+                # (SCAREDRAWVideoDataset resizes stacked [N,3,H,W] tensors
+                # with InterpolationMode.BILINEAR + antialias=True)
+                import torch.nn.functional as TF
+
+                mode = {2: "bilinear", 3: "bicubic", 0: "nearest"}[int(self.interpolation)]
+                kwargs = {} if mode == "nearest" else {
+                    "align_corners": False, "antialias": bool(self.antialias)}
+                squeeze = img.ndim == 3
+                x = img[None] if squeeze else img
+                out = TF.interpolate(x, (h, w), mode=mode, **kwargs)
+                return out[0] if squeeze else out
             resample = _PIL_RESAMPLE.get(int(self.interpolation), 2)
             return img.resize((w, h), resample)
 
     class ColorJitter:
+        """torchvision-semantics jitter on float tensors in [0,1]
+        (transforms.ColorJitter: random op order, uniform factors;
+        _blend with clamp; ITU-R 601 grayscale; HSV hue shift)."""
+
         def __init__(self, brightness=0, contrast=0, saturation=0, hue=0):
-            self.params = (brightness, contrast, saturation, hue)
+            def rng(v, center=1.0, bound=None):
+                if isinstance(v, (tuple, list)):
+                    return tuple(float(x) for x in v)
+                v = float(v)
+                lo, hi = center - v, center + v
+                if bound is not None:
+                    lo, hi = max(lo, bound[0]), min(hi, bound[1])
+                return (lo, hi)
+
+            self.brightness = rng(brightness)
+            self.contrast = rng(contrast)
+            self.saturation = rng(saturation)
+            self.hue = rng(hue, center=0.0, bound=(-0.5, 0.5))
+            # factors sampled at construction-per-item like get_params
+            self.order = torch.randperm(4)
+            u = torch.rand(4)
+            self.factors = [
+                float(uu * (r[1] - r[0]) + r[0])
+                for uu, r in zip(u, (self.brightness, self.contrast,
+                                     self.saturation, self.hue))
+            ]
+
+        @staticmethod
+        def _gray(img):
+            r, g, b = img.unbind(-3)
+            return (0.2989 * r + 0.587 * g + 0.114 * b).unsqueeze(-3)
+
+        @staticmethod
+        def _blend(a, b, ratio):
+            return (ratio * a + (1.0 - ratio) * b).clamp(0.0, 1.0)
+
+        def _hue(self, img, f):
+            r, g, b = img.unbind(-3)
+            maxc, _ = img.max(-3)
+            minc, _ = img.min(-3)
+            v = maxc
+            deltac = maxc - minc
+            s = deltac / torch.where(maxc == 0, torch.ones_like(maxc), maxc)
+            dz = torch.where(deltac == 0, torch.ones_like(deltac), deltac)
+            rc, gc, bc = (maxc - r) / dz, (maxc - g) / dz, (maxc - b) / dz
+            h = torch.where(maxc == r, bc - gc,
+                            torch.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+            h = (h / 6.0) % 1.0
+            h = (h + f) % 1.0
+            i = torch.floor(h * 6.0)
+            fr = h * 6.0 - i
+            p = v * (1.0 - s)
+            q = v * (1.0 - s * fr)
+            t = v * (1.0 - s * (1.0 - fr))
+            i = i.to(torch.int64) % 6
+            out = torch.stack([
+                torch.where(i == 0, v, torch.where(i == 1, q, torch.where(
+                    i == 2, p, torch.where(i == 3, p, torch.where(i == 4, t, v))))),
+                torch.where(i == 0, t, torch.where(i == 1, v, torch.where(
+                    i == 2, v, torch.where(i == 3, q, torch.where(i == 4, p, p))))),
+                torch.where(i == 0, p, torch.where(i == 1, p, torch.where(
+                    i == 2, t, torch.where(i == 3, v, torch.where(i == 4, v, q))))),
+            ], dim=-3)
+            return out
 
         def __call__(self, img):
-            raise NotImplementedError(
-                "refshim ColorJitter is construct-only (train-time aug is out of "
-                "scope for the eval parity harness)")
+            out = img
+            for idx in self.order.tolist():
+                f = self.factors[idx]
+                if idx == 0:
+                    out = self._blend(out, torch.zeros_like(out), f)
+                elif idx == 1:
+                    mean = self._gray(out).mean(dim=(-3, -2, -1), keepdim=True)
+                    out = self._blend(out, mean.expand_as(out), f)
+                elif idx == 2:
+                    out = self._blend(out, self._gray(out).expand_as(out), f)
+                else:
+                    out = self._hue(out, f)
+            return out
 
     transforms.ToTensor = ToTensor
     transforms.Resize = Resize

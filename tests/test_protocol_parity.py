@@ -39,6 +39,9 @@ def synth_tree(tmp_path_factory):
         for i in range(n):
             img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
             cv2.imwrite(os.path.join(base, "left", f"{i:010d}.png"), img)
+            # the video train dataset asserts equal left/right/depth/pose
+            # counts (scared_video_dataset.py:330-337)
+            cv2.imwrite(os.path.join(base, "right", f"{i:010d}.png"), img)
             depth = rng.uniform(20, 120, (h, w)).astype(np.float32)
             scene = np.stack([depth, depth * 0.25 + 7.0, -0.5 * depth + 3.0], -1)
             cv2.imwrite(os.path.join(base, "scene_points",
@@ -111,3 +114,20 @@ def test_pose_video_driver_protocol_parity(synth_tree):
 
     rc = parity_pose_video.main(["--data_path", synth_tree])
     assert rc == 0, "combined driver protocol diverged from the reference"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("temporal", [False, True])
+def test_train_step_loss_protocol_parity(synth_tree, temporal):
+    """One run_epoch iteration of the reference's actual trainer
+    (randomized weights, real dataset batch, phase-0 Adam step, main
+    forward) vs our jitted two-phase step on the identical batch +
+    converted weights: loss_0, the main loss and every per-scale
+    component agree to float tolerance (trainer:395-431,913-971)."""
+    from tools import parity_trainstep
+
+    argv = ["--data_path", synth_tree]
+    if temporal:
+        argv.append("--temporal")
+    rc = parity_trainstep.main(argv)
+    assert rc == 0, "train-step loss protocol diverged from the reference"

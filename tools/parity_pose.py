@@ -57,8 +57,12 @@ def make_random_pose_weights(folder: str, num_layers: int, seed: int) -> None:
         for m in (enc, dec, intr):
             for p in m.parameters():
                 p.copy_(torch.randn(p.shape, generator=g, dtype=torch.float32) * 0.05)
-            for b in m.buffers():
-                if b.dtype.is_floating_point and b.ndim >= 1:  # BN stats
+            for bn, b in m.named_buffers():  # BN stats only, not constants
+                if not b.dtype.is_floating_point:
+                    continue
+                if bn.endswith("running_mean"):
+                    b.copy_(torch.randn(b.shape, generator=g) * 0.2)
+                elif bn.endswith("running_var"):
                     b.copy_(0.5 + 0.5 * torch.rand(b.shape, generator=g))
     os.makedirs(folder, exist_ok=True)
     torch.save(enc.state_dict(), os.path.join(folder, "pose_encoder.pth"))
