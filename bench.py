@@ -171,6 +171,25 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
 
 
 def main():
+    # Fail fast if the TPU tunnel is down: backend init on a dead tunnel
+    # blocks ~25+ minutes before raising (observed during an axon
+    # outage), which would eat the whole bench budget.  Probe in a
+    # subprocess with a hard timeout so the failure is quick and loud.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True, timeout=600)
+        if probe.returncode != 0:
+            log("[env] TPU backend init FAILED (tunnel down?):\n"
+                + probe.stderr[-800:])
+            sys.exit(3)
+    except subprocess.TimeoutExpired:
+        log("[env] TPU backend init timed out after 600 s — tunnel down; "
+            "aborting bench instead of hanging")
+        sys.exit(3)
+
     # headline: 518 px (BASELINE.json metric).  chunk_windows=4 is the
     # measured throughput optimum on v5e (222/244/280/241 fps at
     # cw=2/3/4/5; 6+ OOM); 186 frames -> 8 windows, so chunks divide
