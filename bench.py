@@ -177,18 +177,22 @@ def main():
     # subprocess with a hard timeout so the failure is quick and loud.
     import subprocess
 
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, text=True, timeout=600)
-        if probe.returncode != 0:
-            log("[env] TPU backend init FAILED (tunnel down?):\n"
-                + probe.stderr[-800:])
+    for attempt in range(3):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=600)
+            if probe.returncode == 0:
+                break
+            log(f"[env] TPU backend init FAILED (attempt {attempt + 1}/3, "
+                "tunnel down?):\n" + probe.stderr[-800:])
+        except subprocess.TimeoutExpired:
+            log(f"[env] TPU backend init timed out after 600 s "
+                f"(attempt {attempt + 1}/3) — tunnel down")
+        if attempt == 2:
+            log("[env] aborting bench instead of hanging")
             sys.exit(3)
-    except subprocess.TimeoutExpired:
-        log("[env] TPU backend init timed out after 600 s — tunnel down; "
-            "aborting bench instead of hanging")
-        sys.exit(3)
+        time.sleep(60)  # transient blips recover fast; real outages don't
 
     # headline: 518 px (BASELINE.json metric).  chunk_windows=4 is the
     # measured throughput optimum on v5e (222/244/280/241 fps at

@@ -116,15 +116,16 @@ def evaluate(opt):
         np.save(out, np.array(saved_disps, dtype=object), allow_pickle=True)
         print(f"saved predicted disparities to {out}")
 
+    if not errors:
+        print("no valid frames: every gt mask was empty "
+              f"(gt must contain values in (1e-3, {max_depth}))")
+        return None
     errors = np.array(errors)
     mean_errors = errors.mean(0)
-    if ratios:
-        med = np.median(ratios)
-        print(f" Scaling ratios | med: {med:.3f} | std: {np.std(ratios / med):.3f}")
+    engine.print_alignment_summary("scale", ratios)
     print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, mean_errors)))
     # per-metric 95% CI row (evaluate_depth.py:225-231)
-    cls = [engine.confidence_interval_95(errors[:, i]) for i in range(len(HEADER))]
-    print("cls: " + " ".join(f"[{lo:.4f}, {hi:.4f}]" for lo, hi in cls))
+    engine.print_ci_row(errors)
     if times:
         print(f"average inference time: {np.mean(times):.2f} ms/frame")
     return mean_errors

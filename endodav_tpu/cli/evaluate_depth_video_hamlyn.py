@@ -32,19 +32,11 @@ def evaluate(opt):
     result = engine.evaluate_video_sequences(opt, sequences, forward, with_temporal=False, save_folder=save_folder)
     # alignment summary + per-metric CI rows
     # (evaluate_depth_video_hamlyn.py:228-258)
-    if opt.depth_align == "scale" and result["ratios"]:
-        med = np.median(result["ratios"])
-        print(f" Scaling ratios | med: {med:.3f} | std: {np.std(result['ratios'] / med):.3f}")
-    elif result["align_stats"]:
-        a = np.array(result["align_stats"], dtype=np.float64)
-        print(" Aligning shift and scale | t_gt: {:.3f} | s_gt: {:.3f} | "
-              "t_pred: {:.3f} | s_pred: {:.3f}".format(*a.mean(axis=0)))
+    engine.print_alignment_summary(opt.depth_align, result["ratios"],
+                                   result["align_stats"])
     vals = list(result["mean_errors"])
     print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, vals)))
-    errs = result["all_errors"]
-    if len(errs):
-        cls = [engine.confidence_interval_95(errs[:, i]) for i in range(len(HEADER))]
-        print("cls: " + " ".join(f"[{lo:.4f}, {hi:.4f}]" for lo, hi in cls))
+    engine.print_ci_row(result["all_errors"])
     if result["mean_infer_ms"] is not None:
         print(f"average inference time: {result['mean_infer_ms']:.2f} ms/frame")
     return result

@@ -26,24 +26,14 @@ def evaluate(opt):
 
     depth_result = engine.evaluate_video_sequences(opt, sequences, forward)
     # alignment summary (evaluate_depth_video_pose.py:322-333)
-    if opt.depth_align == "scale" and depth_result["ratios"]:
-        med = np.median(depth_result["ratios"])
-        print(f" Scaling ratios | med: {med:.3f} | std: {np.std(depth_result['ratios'] / med):.3f}")
-    elif depth_result["align_stats"]:
-        a = np.array(depth_result["align_stats"], dtype=np.float64)
-        print(" Aligning shift and scale | t_gt: {:.3f} | s_gt: {:.3f} | "
-              "t_pred: {:.3f} | s_pred: {:.3f}".format(*a.mean(axis=0)))
+    engine.print_alignment_summary(opt.depth_align, depth_result["ratios"],
+                                   depth_result["align_stats"])
     vals = list(depth_result["mean_errors"]) + list(
         depth_result["mean_temporal"] if depth_result["mean_temporal"] is not None else [np.nan] * 2
     )
     print(" | ".join(f"{n}={v:.4f}" for n, v in zip(HEADER, vals)))
     # 9-wide CI row: 7 depth + tae/tas (evaluate_depth_video_pose.py:328-349)
-    errs, temps = depth_result["all_errors"], depth_result["all_temporal"]
-    if len(errs):
-        cls = [engine.confidence_interval_95(errs[:, i]) for i in range(errs.shape[1])]
-        if len(temps):
-            cls += [engine.confidence_interval_95(temps[:, i]) for i in range(temps.shape[1])]
-        print("cls: " + " ".join(f"[{lo:.4f}, {hi:.4f}]" for lo, hi in cls))
+    engine.print_ci_row(depth_result["all_errors"], depth_result["all_temporal"])
 
     pose_results = []
     for data in sequences:

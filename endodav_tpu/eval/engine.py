@@ -33,6 +33,8 @@ __all__ = [
     "evaluate_video_sequences",
     "evaluate_pose_pairs",
     "confidence_interval_95",
+    "print_alignment_summary",
+    "print_ci_row",
     "SPLITS_DIR",
 ]
 
@@ -186,6 +188,34 @@ def confidence_interval_95(values):
     return np.array(
         st.t.interval(0.95, df=len(values) - 1, loc=np.mean(values), scale=st.sem(values))
     )
+
+
+def print_alignment_summary(depth_align, ratios, align_stats=()):
+    """The per-run alignment summary line shared by the depth eval CLIs
+    (evaluate_depth_video_pose.py:322-333, evaluate_depth_video_hamlyn.py
+    :228-238, evaluate_depth.py:213-216 in the reference)."""
+    if depth_align == "scale" and len(ratios):
+        med = np.median(ratios)
+        print(f" Scaling ratios | med: {med:.3f} | std: {np.std(ratios / med):.3f}")
+    elif len(align_stats):
+        a = np.array(align_stats, dtype=np.float64)
+        print(" Aligning shift and scale | t_gt: {:.3f} | s_gt: {:.3f} | "
+              "t_pred: {:.3f} | s_pred: {:.3f}".format(*a.mean(axis=0)))
+
+
+def print_ci_row(*error_arrays):
+    """The per-metric 95%-CI ``cls:`` row shared by the depth eval CLIs.
+
+    Accepts one or more [N, K] per-frame error arrays (concatenated
+    column-wise, e.g. depth metrics + TAE/TAS) and guards the
+    no-valid-frames case instead of crashing on an empty array."""
+    arrays = [np.asarray(a) for a in error_arrays if len(a)]
+    if not arrays:
+        print("cls: (no valid frames — every gt mask was empty)")
+        return
+    cls = [confidence_interval_95(a[:, i])
+           for a in arrays for i in range(a.shape[1])]
+    print("cls: " + " ".join(f"[{lo:.4f}, {hi:.4f}]" for lo, hi in cls))
 
 
 def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,

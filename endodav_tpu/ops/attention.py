@@ -17,10 +17,26 @@ path below is used on CPU and as a correctness oracle.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["multi_head_attention", "fused_qkv_attention"]
+
+
+def _warn_fallback(entry: str, exc: Exception) -> None:
+    """The XLA fallback keeps serving alive when a Pallas path fails to
+    trace/lower, but it must never do so silently — a quiet downgrade
+    masks kernel regressions (and makes kernel-vs-XLA A/Bs compare XLA
+    to XLA while reporting parity).  Once per entry point per process."""
+    warnings.warn(
+        f"endodav_tpu: Pallas {entry} failed "
+        f"({type(exc).__name__}: {exc}); falling back to the XLA "
+        "attention path — serving will be slower",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def fused_qkv_attention(x, w, bias, heads: int,
@@ -45,8 +61,8 @@ def fused_qkv_attention(x, w, bias, heads: int,
             from endodav_tpu.kernels.flash_attention import qkv_flash_attention
 
             return qkv_flash_attention(x, w, bias, heads, scale)
-        except Exception:
-            pass
+        except Exception as e:
+            _warn_fallback("qkv_flash_attention", e)
     qkv = jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())))
     if bias is not None:
         qkv = qkv + bias.astype(qkv.dtype)
@@ -87,8 +103,8 @@ def multi_head_attention(
             from endodav_tpu.kernels.flash_attention import flash_attention
 
             return flash_attention(q, k, v, scale=scale)
-        except Exception:
-            pass
+        except Exception as e:
+            _warn_fallback("flash_attention", e)
     # Tiny-sequence / huge-batch regime (temporal modules, T=32): an
     # attention-only Pallas kernel loses to XLA's batched GEMM here (the
     # (R,T,H,dh) fold relayouts dominate at tiny head dims — round-1

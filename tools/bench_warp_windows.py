@@ -34,7 +34,11 @@ MODES = {
 
 
 def run_mode(name: str, env_extra: dict, steps: int) -> dict:
-    env = dict(os.environ)
+    # start from an environment with NO warp flags: flags exported in the
+    # calling shell would otherwise contaminate the other modes and
+    # mislabel the A/B table
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("ENDODAV_WARP_")}
     env.update(env_extra)
     proc = subprocess.run(
         [sys.executable, "-u", "tools/profile_train_step.py",
@@ -46,7 +50,9 @@ def run_mode(name: str, env_extra: dict, steps: int) -> dict:
     m = re.search(r"\((\d+) ms/step\)", out)
     if m:
         ms = int(m.group(1))
-    losses = re.findall(r"loss[_ ]?0?[=:]\s*([0-9.]+)", out)
+    # "step i: loss_0=x loss=y" lines printed by profile_train_step.py
+    losses = [tuple(float(v) for v in m)
+              for m in re.findall(r"loss_0=([0-9.]+) loss=([0-9.]+)", out)]
     print(f"--- {name} ({env_extra or 'default env'}) ---")
     tail = [l for l in out.splitlines() if l.strip()][-16:]
     print("\n".join(tail))
@@ -67,7 +73,34 @@ def main(argv=None):
     for r in results:
         print(f"| {r['mode']} | {r['ms_per_step']} |")
     bad = [r for r in results if r["rc"] != 0 or r["ms_per_step"] is None]
-    return 1 if bad else 0
+
+    # cross-mode loss agreement: the window modes are exact (trimmed
+    # regions only ever contributed exact zeros), so the per-step losses
+    # must match across modes — drift means a band/tile-plan bug.
+    ref = next((r for r in results if r["losses"]), None)
+    drift = False
+    for r in results:
+        if not r["losses"]:
+            print(f"loss check: {r['mode']} produced NO loss lines")
+            drift = True
+            continue
+        if r is ref:
+            continue
+        if len(r["losses"]) != len(ref["losses"]):
+            print(f"loss check: {r['mode']} step count != {ref['mode']}")
+            drift = True
+            continue
+        for i, (a, b) in enumerate(zip(ref["losses"], r["losses"])):
+            err = max(abs(x - y) / max(abs(x), 1e-9)
+                      for x, y in zip(a, b))
+            if err > 1e-5:
+                print(f"loss check: {r['mode']} step {i} drifts from "
+                      f"{ref['mode']} by {err:.2e}  ({a} vs {b})")
+                drift = True
+    if ref is not None and not drift:
+        print(f"loss check: all modes agree on {len(ref['losses'])} "
+              "step losses (rtol 1e-5)")
+    return 1 if bad or drift else 0
 
 
 if __name__ == "__main__":

@@ -38,9 +38,11 @@ def device_pids(events: list[dict]) -> set[int]:
     return pids
 
 
-def device_profile(fn, top: int = 20) -> list[tuple[str, int, float]]:
+def device_profile(fn, top: int | None = 20) -> list[tuple[str, int, float]]:
     """Run ``fn()`` under a profiler trace; return [(name, count, total_ms)]
-    for device-side complete events, sorted by total duration."""
+    for device-side complete events, sorted by total duration.
+    ``top=None`` returns every row — required when the caller sums rows
+    into a total (a truncated list understates it)."""
     import jax
 
     with tempfile.TemporaryDirectory() as d:
@@ -55,7 +57,7 @@ def device_profile(fn, top: int = 20) -> list[tuple[str, int, float]]:
             agg.setdefault(e.get("name", "?"), []).append(e.get("dur", 0.0))
     rows = [(n, len(ds), sum(ds) / 1e3) for n, ds in agg.items()]
     rows.sort(key=lambda r: -r[2])
-    return rows[:top]
+    return rows if top is None else rows[:top]
 
 
 def main():

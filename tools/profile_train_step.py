@@ -57,18 +57,28 @@ def main():
             state[0], state[1], state[2], dict(batch),
             jnp.asarray(0), jnp.asarray(1e-4), jnp.asarray(1e-4))
         state[0], state[1], state[2] = v, s1, s0
-        return scalars["loss_0"]
+        return scalars["loss_0"], scalars["loss"]
 
     print("compiling/warmup...", flush=True)
     jax.block_until_ready(one(dev_batches[0]))
 
+    step_losses = []
+
     def run():
         outs = [one(b) for b in dev_batches[1:]]
+        step_losses.extend(outs)
         return outs
 
-    rows = device_profile(run, top=60)
+    # top=None: the total must sum EVERY device row — a truncated list
+    # understates it and skews the category percentages.
+    rows = device_profile(run, top=None)
     total = sum(ms for name, n, ms in rows
                 if not name.startswith("jit_") and not name.isdigit())
+    # exact-format loss lines consumed by tools/bench_warp_windows.py's
+    # cross-mode agreement check (the warp window modes are exact, so
+    # any drift between modes is a bug)
+    for i, (l0, l) in enumerate(step_losses):
+        print(f"step {i}: loss_0={float(l0):.9f} loss={float(l):.9f}")
     print(f"\ndevice total over {args.steps} steps: {total:.0f} ms "
           f"({total/args.steps:.0f} ms/step)")
     cat_sum = {}
