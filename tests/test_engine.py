@@ -79,3 +79,34 @@ def test_confidence_interval():
     ci = engine.confidence_interval_95([1.0, 1.1, 0.9, 1.05, 0.95])
     assert ci[0] < 1.0 < ci[1]
     assert np.isnan(engine.confidence_interval_95([1.0])).all()
+
+
+def test_print_alignment_summary(capsys):
+    # scale mode: median/std ratio line (evaluate_depth_video_pose.py:322-327)
+    engine.print_alignment_summary("scale", [1.0, 2.0, 4.0])
+    out = capsys.readouterr().out
+    assert "Scaling ratios | med: 2.000" in out
+    # scale_shift mode: 4-stat mean line (evaluate_depth_video_pose.py:328-333)
+    engine.print_alignment_summary("scale_shift", [], [(1, 2, 3, 4), (3, 4, 5, 6)])
+    out = capsys.readouterr().out
+    assert "t_gt: 2.000 | s_gt: 3.000 | t_pred: 4.000 | s_pred: 5.000" in out
+    # nothing collected: no line at all (matches the reference's guards)
+    engine.print_alignment_summary("scale", [])
+    engine.print_alignment_summary("scale_shift", [], [])
+    assert capsys.readouterr().out == ""
+
+
+def test_print_ci_row(capsys):
+    errs = np.tile(np.array([[1.0, 2.0]]), (8, 1))
+    errs += RNG.normal(0, 0.01, errs.shape)
+    temps = np.tile(np.array([[5.0]]), (8, 1)) + RNG.normal(0, 0.01, (8, 1))
+    engine.print_ci_row(errs, temps)
+    out = capsys.readouterr().out
+    assert out.startswith("cls: ") and out.count("[") == 3
+    # column order: depth metrics first, then temporal
+    import re
+    los = [float(m) for m in re.findall(r"\[([-0-9.]+),", out)]
+    assert los[0] < 1.1 < los[1] and 4.5 < los[2]
+    # empty arrays must not crash (every-mask-empty runs)
+    engine.print_ci_row(np.zeros((0, 2)))
+    assert "no valid frames" in capsys.readouterr().out
