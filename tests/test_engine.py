@@ -1,6 +1,7 @@
 """Eval-engine plumbing tests with stub predictors (no model compile)."""
 
 import numpy as np
+import pytest
 
 from endodav_tpu.eval import engine
 
@@ -110,3 +111,26 @@ def test_print_ci_row(capsys):
     # empty arrays must not crash (every-mask-empty runs)
     engine.print_ci_row(np.zeros((0, 2)))
     assert "no valid frames" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_merge_lora_galora_notice(capsys):
+    """--merge_lora with galora must print the runtime notice and serve the
+    UNMERGED graph (the input-gated delta cannot fold; engine.py)."""
+    import copy
+
+    from flax.traverse_util import flatten_dict
+
+    from endodav_tpu.eval.engine import build_depth_model
+    from test_train_step import Opts
+
+    opt = copy.copy(Opts())
+    opt.model_type = "endodac"
+    opt.lora_type = "galora"
+    opt.merge_lora = True
+    opt.depth_image_shape = (28, 28)
+    model, variables = build_depth_model(opt)
+    out = capsys.readouterr().out
+    assert "--merge_lora ignored" in out
+    keys = ["/".join(k) for k in flatten_dict(variables["params"])]
+    assert any("extra" in k or "lora" in k for k in keys)
