@@ -163,8 +163,39 @@ def load_component(opt, name, module, init_args):
 
 
 def depth_window_forward(model, variables, model_type: str):
-    """Jitted forward for the video-inference drivers."""
+    """Jitted forward for the video-inference drivers.
+
+    ENDODAV_SPLIT_COMPILE=1 compiles the ViT trunk and the DPT head as
+    two separate jits composed eagerly (EndoDAV.encode/decode).  The
+    whole-model vitl jit exceeds this environment's remote-compile
+    service limits (>40 min, PERFORMANCE.md "Closed experiments (b)");
+    split compilation is how the vitl serving numbers were measured
+    (tools/bench_vitl.py) and this flag brings the same strategy to the
+    eval CLIs.  The extra dispatch boundary costs one eager hop per
+    chunk (~20 ms through the dev relay, <2% at vitl chunk times)."""
     if model_type == "endodav":
+        if os.environ.get("ENDODAV_SPLIT_COMPILE"):
+            import functools
+
+            trunk = jax.jit(
+                lambda win: model.apply(variables, win, method="encode"))
+            head_by_t: dict = {}
+
+            def fwd(win):  # [C, T, h, w, 3] -> [C*T, h', w', 1]
+                t = win.shape[1]
+                hf = head_by_t.get(t)
+                if hf is None:
+                    hf = jax.jit(functools.partial(
+                        lambda taps, frames: model.apply(
+                            variables, taps, frames, method="decode")[("disp", 0)],
+                        frames=t))
+                    head_by_t[t] = hf
+                return hf(trunk(win))
+
+            # tells infer_video_depth NOT to wrap this in one outer jit
+            # (which would fuse trunk+head back into a single compile)
+            fwd.precompiled = True
+            return fwd
 
         @jax.jit
         def fwd(win):  # [C, T, h, w, 3] -> [C*T, h', w', 1]

@@ -224,7 +224,20 @@ def _chunk_fn(forward_windows, chunk, th, tw, fh, fw, out_dtype, with_variables=
     key = (chunk, th, tw, fh, fw, np.dtype(out_dtype).name, with_variables)
     fn = cache.get(key)
     if fn is None:
-        if with_variables:
+        if getattr(forward_windows, "precompiled", False) and not with_variables:
+            # split-compiled forward (engine.depth_window_forward with
+            # ENDODAV_SPLIT_COMPILE=1): wrapping it in one outer jit would
+            # fuse the pieces back into a single whole-model compile, so
+            # only the upsample+cast postprocess gets its own small jit.
+            @jax.jit
+            def _post(disp):
+                disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+                return disp[..., 0].astype(out_dtype)
+
+            def fn(win):
+                return _post(forward_windows(win))
+
+        elif with_variables:
             # variables travel as jit ARGUMENTS, never as closure constants
             # — so one trace serves every epoch's weights (the per-epoch
             # eval retrace cost 4-8 min of compile per epoch otherwise).

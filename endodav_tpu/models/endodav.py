@@ -62,19 +62,17 @@ class EndoDAV(nn.Module):
     out_sigmoid: bool = False
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, video, train: bool = False, dash_phase2: bool = False):
-        b, t = video.shape[0], video.shape[1]
-        x = video.reshape(b * t, *video.shape[2:])
-        x = resize2d(x, self.image_shape, "bilinear", align_corners=True)
-        mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
-        std = jnp.asarray(IMAGENET_STD, x.dtype)
-        x = (x - mean) / std
-
+    def setup(self):
+        # setup-style (not nn.compact) so `encode`/`decode` can be jitted
+        # SEPARATELY via model.apply(..., method=...) — splitting the
+        # whole-model compilation in two keeps vitl under remote-compile
+        # service limits (eval/engine.py:depth_window_forward,
+        # ENDODAV_SPLIT_COMPILE=1).  Attribute names keep the param tree
+        # identical to the previous compact form ("pretrained"/"head").
         cfg = ENDODAV_CONFIGS[self.encoder]
         vit_cfg = VIT_CONFIGS[self.encoder]
         alpha = _endodav_lora_alpha(self.lora_type, self.r)
-        taps = DinoViT(
+        self.pretrained = DinoViT(
             **vit_cfg,
             residual_block_indexes=tuple(self.residual_block_indexes),
             include_cls_token=self.include_cls_token,
@@ -82,11 +80,8 @@ class EndoDAV(nn.Module):
             lora_rank=self.r,
             lora_alpha=alpha,
             dtype=self.dtype,
-            name="pretrained",
-        )(x, cfg["intermediate"], dash_phase2)
-
-        ph, pw = self.image_shape[0] // 14, self.image_shape[1] // 14
-        return DPTDecoder(
+        )
+        self.head = DPTDecoder(
             in_channels=vit_cfg["embed_dim"],
             features=cfg["features"],
             out_channels=cfg["out_channels"],
@@ -102,5 +97,28 @@ class EndoDAV(nn.Module):
             lora_rank=self.r,
             lora_alpha=alpha,
             dtype=self.dtype,
-            name="head",
-        )(taps, (ph, pw), frames=t, train=train, dash_phase2=dash_phase2)
+        )
+
+    def encode(self, video, train: bool = False, dash_phase2: bool = False):
+        """[B, T, H, W, 3] -> ViT taps at the encoder's intermediate
+        layers (resize + ImageNet normalize + trunk; endodav.py:150-156)."""
+        b, t = video.shape[0], video.shape[1]
+        x = video.reshape(b * t, *video.shape[2:])
+        x = resize2d(x, self.image_shape, "bilinear", align_corners=True)
+        mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+        std = jnp.asarray(IMAGENET_STD, x.dtype)
+        x = (x - mean) / std
+        cfg = ENDODAV_CONFIGS[self.encoder]
+        return self.pretrained(x, cfg["intermediate"], dash_phase2)
+
+    def decode(self, taps, frames: int, train: bool = False,
+               dash_phase2: bool = False):
+        """ViT taps -> {("disp", s)} via the temporal DPT head."""
+        ph, pw = self.image_shape[0] // 14, self.image_shape[1] // 14
+        return self.head(taps, (ph, pw), frames=frames, train=train,
+                         dash_phase2=dash_phase2)
+
+    def __call__(self, video, train: bool = False, dash_phase2: bool = False):
+        taps = self.encode(video, train=train, dash_phase2=dash_phase2)
+        return self.decode(taps, video.shape[1], train=train,
+                           dash_phase2=dash_phase2)

@@ -220,3 +220,27 @@ def test_variables_threading_no_retrace_across_weight_updates():
     # out = base*s + t, so out2 must reflect v2, not v1
     base = (out1 - 0.1) / 0.5
     np.testing.assert_allclose(out2, base * 0.25 + 0.3, rtol=1e-4, atol=1e-5)
+
+
+def test_split_compile_matches_whole_model(monkeypatch):
+    """ENDODAV_SPLIT_COMPILE=1 (engine.depth_window_forward) composes
+    separately-jitted EndoDAV.encode/decode; output must be bit-identical
+    to the whole-model jit through the full chunk pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from endodav_tpu.eval import engine
+    from endodav_tpu.models.endodav import EndoDAV
+
+    m = EndoDAV(image_shape=(28, 28), num_frames=32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 28, 28, 3)))
+    frames = np.random.default_rng(1).integers(0, 255, (40, 32, 32, 3), dtype=np.uint8)
+
+    monkeypatch.delenv("ENDODAV_SPLIT_COMPILE", raising=False)
+    whole = infer_video_depth(engine.depth_window_forward(m, v, "endodav"),
+                              frames, image_shape=(28, 28), chunk_windows=2)
+    monkeypatch.setenv("ENDODAV_SPLIT_COMPILE", "1")
+    fwd = engine.depth_window_forward(m, v, "endodav")
+    assert getattr(fwd, "precompiled", False)
+    split = infer_video_depth(fwd, frames, image_shape=(28, 28), chunk_windows=2)
+    np.testing.assert_allclose(split, whole, atol=1e-6)
