@@ -6,11 +6,12 @@
 #
 #   bash tools/tpu_session_r3.sh
 #
-# Stages:
-#   warp     bench_warp_windows: full/band/tile/band32/tile32 step A/B
-#   outconv  FFB low-res out_conv vs reference order (518 + 224 serving)
-#   ftrain   ENDODAV_FUSED_TRAIN=1 vs default train-step profile
-#   bench    bench.py headline (new serving config)
+# Stages (value order — early ones matter most if the tunnel drops):
+#   warp      bench_warp_windows: full/band/tile/band32/tile32 step A/B
+#   bench     bench.py headline (new serving config)
+#   vitl_eval evaluate_depth_video.py --encoder vitl via split compile
+#   outconv   FFB low-res out_conv vs reference order (518 + 224 serving)
+#   ftrain    ENDODAV_FUSED_TRAIN=1 vs default train-step profile
 set -u
 cd "$(dirname "$0")/.."
 OUT=/tmp/tpu_r3
@@ -34,6 +35,18 @@ stage() {  # stage <name> <cmd...>
 stage warp python -u tools/bench_warp_windows.py --steps 2 \
     --modes full,band,tile,band32,tile32
 
+stage bench python -u bench.py
+
+run_vitl_eval() {
+  # vitl through the real eval CLI needs the split-compile path (the
+  # whole-model vitl jit exceeds the remote-compile service limits)
+  [ -d /tmp/scared_synth ] || { echo "no /tmp/scared_synth tree"; return 1; }
+  ENDODAV_SPLIT_COMPILE=1 python -u evaluate_depth_video.py \
+      --data_path /tmp/scared_synth --model_type endodav --encoder vitl \
+      --chunk_windows 1
+}
+stage vitl_eval run_vitl_eval
+
 run_outconv() {
   for cfg in 518 224; do
     echo "--- config $cfg, low-res out_conv (default)"
@@ -53,7 +66,5 @@ run_ftrain() {
       || return 1
 }
 stage ftrain run_ftrain
-
-stage bench python -u bench.py
 
 echo "== all stages attempted; logs in $OUT"
