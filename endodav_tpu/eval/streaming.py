@@ -1,0 +1,182 @@
+"""Online (streaming) sliding-window video depth.
+
+The reference's `infer_video_depth` (models/endodav/endodav.py:162-254)
+is offline-only: it materializes the whole video, then walks windows
+sequentially.  EndoDAV's deployment target is *live* endoscopy, where
+frames arrive one at a time and depth must come back with bounded
+latency and bounded memory — so this module provides the same
+prediction as the offline path (`eval.video_inference`) as an
+incremental program:
+
+  * `DepthStreamer.push(frame)` ingests one frame and returns every
+    output frame that has become FINAL (a frame is final once no future
+    window can rewrite it through the INTERP_LEN cross-fade);
+  * `DepthStreamer.flush()` ends the stream, replaying the offline
+    padding semantics (indices past the end clamp to the last frame,
+    endodav.py:188-189) for the remaining windows.
+
+Exactness: streaming output == `infer_video_depth(..., stitch="host")`
+output for every stream length (tested in tests/test_streaming.py).
+The window recurrence (keyframe-carried input slots, endodav.py:186-199)
+is tracked with an explicit per-window source-index vector — the same
+arithmetic as `video_inference.window_indices`, evaluated online — and
+the sequential scale/shift stitch (:218-252) is applied incrementally:
+only the last INTERP_LEN aligned frames are ever provisional.
+
+Memory is constant in stream length: source frames are kept only while
+a future window can still reference them (the keyframe carry reaches at
+most two windows back, so the buffer holds < 2*INFER_LEN frames), and
+the TPU graph is the SAME jitted single-window chunk pipeline the
+offline path uses (`video_inference._chunk_fn` with chunk_windows=1) —
+a new stream never recompiles.
+
+Per-window latency = one INFER_LEN-frame forward; a new final depth
+frame is emitted for every pushed frame once the pipeline is primed
+(window k finalizes `step` frames when source frame step*k+INFER_LEN-1
+arrives).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from endodav_tpu.eval.metrics import compute_scale_and_shift, interpolate_frames
+from endodav_tpu.eval.video_inference import _chunk_fn, keep_aspect_size
+from endodav_tpu.models.endodav import INFER_LEN, INTERP_LEN, KEYFRAMES, OVERLAP
+from endodav_tpu.ops.resize import resize2d
+
+__all__ = ["DepthStreamer"]
+
+_STEP = INFER_LEN - OVERLAP
+_KF = np.asarray(KEYFRAMES, dtype=np.int64)
+
+
+class DepthStreamer:
+    """Incremental `infer_video_depth` over a live frame stream.
+
+    forward_windows: the same jittable window forward the offline path
+      takes — [1, INFER_LEN, th, tw, 3] -> [INFER_LEN, h', w', 1].
+    image_shape: model input target (keep-aspect lower_bound, like the
+      offline `image_shape` argument).
+    transfer_dtype: device->host dtype for the raw window outputs.
+
+    Output frames are raw stitched sigmoid disparity [H, W] float32 at
+    source resolution, identical to the offline path's rows.
+    """
+
+    def __init__(
+        self,
+        forward_windows: Callable,
+        image_shape: tuple[int, int] = (224, 280),
+        transfer_dtype=np.float32,
+    ):
+        self._fwd = forward_windows
+        self._image_shape = tuple(image_shape)
+        self._transfer_dtype = transfer_dtype
+        self._frames: dict[int, np.ndarray] = {}   # source idx -> frame
+        self._n_pushed = 0
+        self._win = 0                              # next window ordinal
+        self._prev_idx: np.ndarray | None = None   # prev window's 32 src indices
+        self._tail: list[np.ndarray] = []          # provisional aligned frames
+        self._run = None                           # jitted chunk fn (lazy: needs H,W)
+        self._pre = None                           # jitted preproc
+        self._src_hw: tuple[int, int] | None = None
+        self._flushed = False
+
+    # ------------------------------------------------------------- internals
+    def _bind_shapes(self, frame: np.ndarray):
+        fh, fw = frame.shape[:2]
+        self._src_hw = (fh, fw)
+        th, tw = keep_aspect_size(fh, fw, *self._image_shape)
+        # identical preproc math to infer_video_depth: uint8 -> f32/255 ->
+        # device bicubic (align_corners=False) at keep-aspect size
+        import jax
+
+        @jax.jit
+        def pre(win_u8):
+            x = win_u8.astype(jnp.float32)
+            x = x / 255.0 if win_u8.dtype == jnp.uint8 else x
+            return resize2d(x, (th, tw), "bicubic", align_corners=False)
+
+        self._pre = pre
+        self._run = _chunk_fn(self._fwd, 1, th, tw, fh, fw, self._transfer_dtype)
+
+    def _window_idx(self, n_clamp: int) -> np.ndarray:
+        """Source indices for window `self._win`, clamped to n_clamp-1 —
+        the online form of `video_inference.window_indices`."""
+        s = _STEP * self._win
+        idx = np.clip(np.arange(s, s + INFER_LEN), 0, n_clamp - 1)
+        if self._win > 0:
+            idx[:OVERLAP] = self._prev_idx[_KF]
+        return idx
+
+    def _fire_window(self, n_clamp: int) -> list[np.ndarray]:
+        idx = self._window_idx(n_clamp)
+        win_u8 = np.stack([self._frames[i] for i in idx], axis=0)
+        win = self._pre(jnp.asarray(win_u8))[None]          # [1, T, th, tw, 3]
+        out = np.asarray(self._run(win), dtype=np.float32)  # [T, fh, fw]
+
+        self._prev_idx = idx
+        self._win += 1
+        # prune: future windows reference only this window's keyframe
+        # slots (by source index) and fresh frames >= the next start
+        keep = set(int(i) for i in idx[_KF])
+        nxt = _STEP * self._win
+        self._frames = {i: f for i, f in self._frames.items() if i in keep or i >= nxt}
+
+        # incremental stitch (video_inference._stitch, one window's worth)
+        if not self._tail:  # window 0
+            aligned = list(out)
+        else:
+            align_len = OVERLAP - INTERP_LEN
+            pre = self._tail
+            post = [out[i] for i in range(align_len, OVERLAP)]
+            scale, shift = compute_scale_and_shift(np.concatenate(post), np.concatenate(pre))
+            post = [np.maximum(f * scale + shift, 0.0) for f in post]
+            aligned = interpolate_frames(pre, post)
+            for i in range(OVERLAP, INFER_LEN):
+                aligned.append(np.maximum(out[i] * scale + shift, 0.0))
+        final, self._tail = aligned[:-INTERP_LEN], aligned[-INTERP_LEN:]
+        return final
+
+    # ------------------------------------------------------------------ API
+    @property
+    def frames_buffered(self) -> int:
+        """Source frames currently held (bounded < 2*INFER_LEN)."""
+        return len(self._frames)
+
+    def push(self, frame: np.ndarray) -> list[np.ndarray]:
+        """Ingest one [H, W, 3] frame; return newly-final depth frames."""
+        assert not self._flushed, "push() after flush()"
+        if self._src_hw is None:
+            self._bind_shapes(frame)
+        assert frame.shape[:2] == self._src_hw, "frame size changed mid-stream"
+        self._frames[self._n_pushed] = frame
+        self._n_pushed += 1
+        # window `self._win` fires once its last fresh frame arrives
+        if self._n_pushed == _STEP * self._win + INFER_LEN:
+            return self._fire_window(self._n_pushed)
+        return []
+
+    def flush(self) -> list[np.ndarray]:
+        """End of stream: run the remaining clamped-padding windows and
+        release every provisional frame (offline-truncation semantics)."""
+        assert not self._flushed, "flush() called twice"
+        self._flushed = True
+        n = self._n_pushed
+        if n == 0:
+            return []
+        out: list[np.ndarray] = []
+        # offline window count: one window per start in range(0, n, step)
+        num_windows = len(range(0, n, _STEP))
+        while self._win < num_windows:
+            out.extend(self._fire_window(n))
+        out.extend(self._tail)
+        self._tail = []
+        self._frames = {}
+        # emitted total = num_windows*step + overlap... truncate to n
+        emitted_before = (num_windows - 1) * _STEP + INFER_LEN - len(out)
+        return out[: max(0, n - emitted_before)]
