@@ -11,6 +11,7 @@
 #   bench     bench.py headline (new serving config)
 #   vitl_eval evaluate_depth_video.py --encoder vitl via split compile
 #   outconv   FFB low-res out_conv vs reference order (518 + 224 serving)
+#   stream    DepthStreamer per-window latency (224 + 518)
 #   ftrain    ENDODAV_FUSED_TRAIN=1 vs default train-step profile
 set -u
 cd "$(dirname "$0")/.."
@@ -57,6 +58,12 @@ run_outconv() {
   done
 }
 stage outconv run_outconv
+
+run_stream() {
+  python -u tools/bench_streaming.py --config 224 --frames 142 || return 1
+  python -u tools/bench_streaming.py --config 518 --frames 142 || return 1
+}
+stage stream run_stream
 
 run_ftrain() {
   echo "--- default (XLA temporal in train)"
