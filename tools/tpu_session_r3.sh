@@ -13,6 +13,7 @@
 #   outconv   FFB low-res out_conv vs reference order (518 + 224 serving)
 #   stream    DepthStreamer per-window latency (224 + 518)
 #   ftrain    ENDODAV_FUSED_TRAIN=1 vs default train-step profile
+#   int8probe int8-vs-bf16 MXU GEMM ceiling at ViT shapes
 set -u
 cd "$(dirname "$0")/.."
 OUT=/tmp/tpu_r3
@@ -73,5 +74,8 @@ run_ftrain() {
       || return 1
 }
 stage ftrain run_ftrain
+
+# cheap ceiling probe: is int8 2x on the v5e MXU at our GEMM shapes?
+stage int8probe python -u tools/bench_int8.py
 
 echo "== all stages attempted; logs in $OUT"
