@@ -101,17 +101,40 @@ def qkv_flash_attention(x, w, bias, heads: int, scale: float | None = None):
     clipped on the output write.  Gradients flow through the projections
     via XLA autodiff and through the kernel via its custom_vjp.
     """
-    b, n, c = x.shape
+    b, n, _ = x.shape
+    # q/k/v width from the WEIGHT, not x: under tensor parallelism the
+    # local w is [C, 3*C/g] while x keeps the full C (parallel/tp.py)
+    c = w.shape[-1] // 3
     dh = c // heads
     n_pad = _round_up(n, 128)
     xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
 
-    def proj(i):
-        y = jax.lax.dot_general(xp, w[:, i * c:(i + 1) * c],
-                                (((2,), (0,)), ((), ())))
-        if bias is not None:
-            y = y + bias[i * c:(i + 1) * c].astype(y.dtype)
-        return y.reshape(b, n_pad, heads, dh)
+    from endodav_tpu.ops.quant import int8_enabled
+
+    if int8_enabled():
+        # int8 projection at padded length: one per-row quantization of
+        # xp shared by the three weight-column slices, so the int8 MXU
+        # rate composes with the fused-qkv prep win (no per-layer slice
+        # copies / separate pads reappear)
+        from endodav_tpu.ops.quant import _quantize_rows, quantize_weight
+
+        x8, xs = _quantize_rows(xp)
+
+        def proj(i):
+            w8, ws = quantize_weight(w[:, i * c:(i + 1) * c])
+            acc = jax.lax.dot_general(x8, w8, (((2,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * xs * ws
+            if bias is not None:
+                y = y + bias[i * c:(i + 1) * c].astype(jnp.float32)
+            return y.astype(x.dtype).reshape(b, n_pad, heads, dh)
+    else:
+        def proj(i):
+            y = jax.lax.dot_general(xp, w[:, i * c:(i + 1) * c],
+                                    (((2,), (0,)), ((), ())))
+            if bias is not None:
+                y = y + bias[i * c:(i + 1) * c].astype(y.dtype)
+            return y.reshape(b, n_pad, heads, dh)
 
     q, k, v = proj(0), proj(1), proj(2)
     return flash_attention(q, k, v, scale, n if n_pad != n else None)

@@ -60,6 +60,10 @@ class LoRADense(nn.Module):
     use_bias: bool = True
     dash_index: int = 8
     dtype: Any = jnp.float32
+    # serving-only int8 GEMM path (ops/quant.py); set by the ViT MLP when
+    # ENDODAV_INT8=1 — only meaningful for variant="none" (the merged-LoRA
+    # serving graph), where the whole layer is one large token-space GEMM
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, dash_phase2: bool = False) -> jnp.ndarray:
@@ -82,6 +86,12 @@ class LoRADense(nn.Module):
             b = self.param("lora_B", nn.initializers.ones, (self.features, 1), jnp.float32)
             k = (a * kernel * b[:, 0][None, :]).astype(self.dtype)
             return xd @ k + y_bias
+
+        if self.variant == "none" and self.quant_int8:
+            from endodav_tpu.ops.quant import int8_dense
+
+            return int8_dense(xd, kernel, bias if self.use_bias else None,
+                              out_dtype=self.dtype)
 
         y = xd @ kernel.astype(self.dtype) + y_bias
         if self.variant == "none":

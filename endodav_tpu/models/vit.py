@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from endodav_tpu.models.lora import LoRADense
 from endodav_tpu.ops.attention import fused_qkv_attention
+from endodav_tpu.ops.quant import int8_dense, int8_enabled
 from endodav_tpu.ops.resize import resize2d
 
 __all__ = ["DinoViT", "VIT_CONFIGS"]
@@ -50,19 +51,28 @@ class Mlp(nn.Module):
     lora_variant: str = "none"
     lora_rank: int = 4
     lora_alpha: float | None = None
+    # tensor parallelism (parallel/tp.py): hidden_features is the LOCAL
+    # width (global/g), fc2 emits a partial sum reduced over this axis
+    # (its bias is pre-divided by g when the params are sharded)
+    tp_axis: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, dash_phase2: bool = False):
+        quant = int8_enabled()  # serving-only int8 GEMMs (ops/quant.py)
         x = LoRADense(
             self.hidden_features, r=self.lora_rank, lora_alpha=self.lora_alpha,
             variant=self.lora_variant, dtype=self.dtype, name="fc1",
+            quant_int8=quant,
         )(x, dash_phase2)
         x = jax.nn.gelu(x, approximate=False)
         x = LoRADense(
             self.out_features, r=self.lora_rank, lora_alpha=self.lora_alpha,
             variant=self.lora_variant, dtype=self.dtype, name="fc2",
+            quant_int8=quant,
         )(x, dash_phase2)
+        if self.tp_axis is not None:
+            x = jax.lax.psum(x, self.tp_axis)
         return x
 
 
@@ -106,20 +116,41 @@ class SpatialAttention(nn.Module):
     """Fused-QKV MHSA (backbones/layers/attention.py:36-69)."""
 
     dim: int
-    num_heads: int
+    num_heads: int  # LOCAL head count under tensor parallelism (global/g)
     qkv_bias: bool = True
     proj_bias: bool = True
+    # tensor parallelism (parallel/tp.py): qkv/proj kernels hold the local
+    # head-group columns/rows; proj emits a partial sum reduced over this
+    # axis (its bias is pre-divided by g when the params are sharded)
+    tp_axis: str | None = None
+    tp_groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
-        w, bias = _QKVParams(3 * self.dim, self.qkv_bias, name="qkv")(c)
-        w = w.astype(self.dtype)
-        bias = bias.astype(self.dtype) if bias is not None else None
-        out = fused_qkv_attention(x, w, bias, self.num_heads)
-        out = out.reshape(b, n, c)
-        return nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+        w, bias = _QKVParams(3 * self.dim // self.tp_groups, self.qkv_bias, name="qkv")(c)
+        if int8_enabled():
+            # pass the f32 master kernel: the attention dispatch quantizes
+            # it inside the fused-qkv projection (per-row x scales shared
+            # by the q/k/v weight-column slices), so int8 composes with
+            # the single-pad prep win (kernels/flash_attention.py)
+            out = fused_qkv_attention(x, w, bias, self.num_heads)
+        else:
+            wd = w.astype(self.dtype)
+            bd = bias.astype(self.dtype) if bias is not None else None
+            out = fused_qkv_attention(x, wd, bd, self.num_heads)
+        out = out.reshape(b, n, -1)
+        if int8_enabled():
+            # same param tree as nn.Dense (name/init identical) so
+            # checkpoints are unaffected by the serving-time quant flag
+            wp, bp = _QKVParams(self.dim, self.proj_bias, name="proj")(out.shape[-1])
+            out = int8_dense(out, wp, bp, out_dtype=self.dtype)
+        else:
+            out = nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+        if self.tp_axis is not None:
+            out = jax.lax.psum(out, self.tp_axis)
+        return out
 
 
 class LayerScale(nn.Module):
@@ -194,20 +225,34 @@ class ViTBlock(nn.Module):
     lora_rank: int = 4
     lora_alpha: float | None = None
     ffn_layer: str = "mlp"  # mlp | swiglu (vision_transformer.py:124-129)
+    # tensor parallelism (parallel/tp.py): >1 makes this block the LOCAL
+    # view — heads and MLP hidden width divided by tp_groups, partial
+    # sums reduced over the 'model' mesh axis inside attn/mlp
+    tp_groups: int = 1
+    tp_axis: str = "model"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, dash_phase2: bool = False):
+        tp_axis = self.tp_axis if self.tp_groups > 1 else None
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
         x = x + LayerScale(self.dim, name="ls1")(
-            SpatialAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(ln("norm1")(x))
+            SpatialAttention(
+                self.dim, self.num_heads // self.tp_groups, dtype=self.dtype,
+                tp_axis=tp_axis, tp_groups=self.tp_groups, name="attn",
+            )(ln("norm1")(x))
         )
         if self.ffn_layer == "swiglu":
+            if self.tp_groups > 1:
+                raise NotImplementedError(
+                    "tensor parallelism covers the default MLP FFN only "
+                    "(no reference config uses swiglu; vision_transformer.py:124-129)")
             ffn = SwiGLUFFN(4 * self.dim, self.dim, dtype=self.dtype, name="mlp")
         else:
             ffn = Mlp(
-                4 * self.dim, self.dim, self.lora_variant, self.lora_rank,
-                self.lora_alpha, dtype=self.dtype, name="mlp",
+                4 * self.dim // self.tp_groups, self.dim, self.lora_variant,
+                self.lora_rank, self.lora_alpha, tp_axis=tp_axis,
+                dtype=self.dtype, name="mlp",
             )
         x = x + LayerScale(self.dim, name="ls2")(ffn(ln("norm2")(x), dash_phase2))
         if self.use_residual_block:
@@ -239,6 +284,10 @@ class DinoViT(nn.Module):
     lora_rank: int = 4
     lora_alpha: float | None = None
     ffn_layer: str = "mlp"
+    # tensor parallelism: >1 builds the LOCAL view of the trunk (heads and
+    # MLP hidden split over the 'model' mesh axis; run under shard_map
+    # with params sharded by parallel/tp.py)
+    tp_groups: int = 1
     dtype: Any = jnp.float32
 
     def interpolated_pos_embed(self, pos_embed, ph: int, pw: int):
@@ -292,6 +341,7 @@ class DinoViT(nn.Module):
                 include_cls_token=self.include_cls_token,
                 lora_variant=self.lora_variant, lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha, ffn_layer=self.ffn_layer,
+                tp_groups=self.tp_groups,
                 dtype=self.dtype, name=f"blocks_{i}",
             )(x, dash_phase2)
             if i in take:

@@ -63,13 +63,21 @@ def fused_qkv_attention(x, w, bias, heads: int,
             return qkv_flash_attention(x, w, bias, heads, scale)
         except Exception as e:
             _warn_fallback("qkv_flash_attention", e)
-    qkv = jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())))
-    if bias is not None:
-        qkv = qkv + bias.astype(qkv.dtype)
-    qkv = qkv.reshape(b, n, 3, heads, c // heads)
+    from endodav_tpu.ops.quant import int8_dense, int8_enabled
+
+    if int8_enabled():
+        qkv = int8_dense(x, w, bias, out_dtype=x.dtype)
+    else:
+        qkv = jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())))
+        if bias is not None:
+            qkv = qkv + bias.astype(qkv.dtype)
+    # head dim from the weight, not x: under tensor parallelism the local
+    # w is [C, 3*C/g] while x keeps the full C (parallel/tp.py)
+    dh = w.shape[-1] // 3 // heads
+    qkv = qkv.reshape(b, n, 3, heads, dh)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if scale is None:
-        scale = (c // heads) ** -0.5
+        scale = dh ** -0.5
     return _xla_attention(q, k, v, scale)
 
 

@@ -1,0 +1,101 @@
+"""int8 serving GEMM path (ops/quant.py, ENDODAV_INT8=1).
+
+Bounds the quantization error at the op level and at whole-model
+granularity, and pins that the flag actually reroutes the ViT
+projections (a silent no-op would make the device A/B compare bf16 to
+bf16 while reporting an int8 result).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from endodav_tpu.ops.quant import int8_dense, quantize_weight
+
+RNG = np.random.default_rng(7)
+
+
+def test_quantize_weight_roundtrip_bound():
+    w = jnp.asarray(RNG.standard_normal((64, 96)).astype(np.float32))
+    w8, scale = quantize_weight(w)
+    assert w8.dtype == jnp.int8 and scale.shape == (96,)
+    deq = np.asarray(w8, np.float32) * np.asarray(scale)[None, :]
+    # symmetric per-channel: error bounded by half a quantization step
+    step = np.asarray(scale)[None, :]
+    assert np.all(np.abs(deq - np.asarray(w)) <= 0.5 * step + 1e-7)
+
+
+def test_int8_dense_error_bound():
+    x = jnp.asarray(RNG.standard_normal((128, 256)).astype(np.float32))
+    w = jnp.asarray(RNG.standard_normal((256, 192)).astype(np.float32))
+    b = jnp.asarray(RNG.standard_normal((192,)).astype(np.float32))
+    y_exact = np.asarray(x @ w + b)
+    y_q = np.asarray(int8_dense(x, w, b))
+    rel = np.linalg.norm(y_q - y_exact) / np.linalg.norm(y_exact)
+    assert rel < 0.02, rel
+    assert not np.allclose(y_q, y_exact)  # the int8 path actually ran
+
+
+def test_int8_dense_zero_rows_no_nan():
+    x = jnp.zeros((4, 32))
+    w = jnp.asarray(RNG.standard_normal((32, 16)).astype(np.float32))
+    y = np.asarray(int8_dense(x, w))
+    assert np.all(np.isfinite(y)) and np.all(y == 0)
+
+
+def test_int8_dense_batched_shapes():
+    x = jnp.asarray(RNG.standard_normal((2, 5, 48)).astype(np.float32))
+    w = jnp.asarray(RNG.standard_normal((48, 24)).astype(np.float32))
+    y = int8_dense(x, w, out_dtype=jnp.bfloat16)
+    assert y.shape == (2, 5, 24) and y.dtype == jnp.bfloat16
+
+
+def test_int8_dense_uses_integer_dot():
+    """The contraction must be an int8->int32 dot (the MXU-rate path),
+    not a dequantize-then-float matmul."""
+    x = jnp.zeros((8, 32))
+    w = jnp.zeros((32, 16))
+    jaxpr = jax.make_jaxpr(lambda a, b: int8_dense(a, b))(x, w)
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "no dot_general in int8_dense"
+    assert any(e.params.get("preferred_element_type") == jnp.int32 for e in dots)
+
+
+@pytest.fixture
+def tiny_endodav_out():
+    from endodav_tpu.models import EndoDAV
+
+    m = EndoDAV(encoder="vits", image_shape=(56, 70), num_frames=4,
+                lora_type="none")
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 4, 56, 70, 3)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    return m, variables, x
+
+
+def test_endodav_int8_whole_model_deviation(tiny_endodav_out, monkeypatch):
+    """ENDODAV_INT8=1 engages (output changes) and stays close (bounded
+    disparity deviation) on the merged-serving graph."""
+    m, variables, x = tiny_endodav_out
+    monkeypatch.delenv("ENDODAV_INT8", raising=False)
+    d0 = np.asarray(m.apply(variables, x)[("disp", 0)], np.float32)
+    monkeypatch.setenv("ENDODAV_INT8", "1")
+    d1 = np.asarray(m.apply(variables, x)[("disp", 0)], np.float32)
+    diff = np.abs(d1 - d0)
+    assert diff.max() > 0, "int8 flag did not reroute any GEMM"
+    # sigmoid disparity lives in [0,1]; random-weight deviation stays small
+    assert diff.max() < 0.05, diff.max()
+    assert diff.mean() < 0.01, diff.mean()
+
+
+def test_lora_variants_ignore_quant_flag(monkeypatch):
+    """Unmerged adapter variants keep the f32/bf16 path: quant is scoped
+    to the merged (variant='none') serving graph."""
+    from endodav_tpu.models.lora import LoRADense
+
+    x = jnp.asarray(RNG.standard_normal((4, 16)).astype(np.float32))
+    layer = LoRADense(8, variant="dvlora", r=2, quant_int8=True)
+    p = layer.init(jax.random.PRNGKey(0), x)
+    ref = LoRADense(8, variant="dvlora", r=2).apply(p, x)
+    np.testing.assert_array_equal(np.asarray(layer.apply(p, x)), np.asarray(ref))

@@ -78,4 +78,16 @@ stage ftrain run_ftrain
 # cheap ceiling probe: is int8 2x on the v5e MXU at our GEMM shapes?
 stage int8probe python -u tools/bench_int8.py
 
+# whole-model int8 serving A/B (merged graph; reports speedup + disp
+# deviation so the number is never quoted without its numerics cost)
+run_int8model() {
+  python -u tools/bench_int8_serving.py --config 518 --iters 6 || return 1
+  python -u tools/bench_int8_serving.py --config 224 --iters 6 || return 1
+  # vitl (split-compile; most GEMM-dominated, biggest int8 upside) —
+  # non-fatal: its compile path is the slowest in the tree
+  python -u tools/bench_int8_serving.py --config 518 --encoder vitl --iters 4 \
+    || echo "vitl int8 A/B failed (non-fatal)"
+}
+stage int8model run_int8model
+
 echo "== all stages attempted; logs in $OUT"
