@@ -24,7 +24,7 @@ def evaluate(opt):
     forward = None
     if opt.pred_root is None:
         model, variables = engine.build_depth_model(opt)
-        forward = engine.depth_window_forward(model, variables, opt.model_type)
+        forward = engine.depth_window_forward(model, variables, opt.model_type, opt)
 
     save_folder = None
     if opt.visualize_depth and opt.load_weights_folder:

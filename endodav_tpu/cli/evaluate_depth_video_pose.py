@@ -22,7 +22,7 @@ def evaluate(opt):
     sequences = ScaredVideos(opt.data_path, filenames)
 
     model, variables = engine.build_depth_model(opt)
-    forward = engine.depth_window_forward(model, variables, opt.model_type)
+    forward = engine.depth_window_forward(model, variables, opt.model_type, opt)
 
     depth_result = engine.evaluate_video_sequences(opt, sequences, forward)
     # alignment summary (evaluate_depth_video_pose.py:322-333)

@@ -162,8 +162,14 @@ def load_component(opt, name, module, init_args):
     return variables
 
 
-def depth_window_forward(model, variables, model_type: str):
+def depth_window_forward(model, variables, model_type: str, opt=None):
     """Jitted forward for the video-inference drivers.
+
+    ``--serve_mesh model=N`` (opt) builds the tensor-parallel trunk
+    forward instead (parallel/tp.py): the ViT's qkv/proj/fc1/fc2 split
+    over N chips with two psums per block — the latency-scaling
+    counterpart of the window-DP ``--serve_mesh data=N``.  Requires the
+    merged serving graph (``--merge_lora``).
 
     ENDODAV_SPLIT_COMPILE=1 compiles the ViT trunk and the DPT head as
     two separate jits composed eagerly (EndoDAV.encode/decode).  The
@@ -174,6 +180,27 @@ def depth_window_forward(model, variables, model_type: str):
     eval CLIs.  The extra dispatch boundary costs one eager hop per
     chunk (~20 ms through the dev relay, <2% at vitl chunk times)."""
     if model_type == "endodav":
+        spec = (getattr(opt, "serve_mesh", "") or "") if opt is not None else ""
+        if spec.startswith("model="):
+            from endodav_tpu.models.vit import VIT_CONFIGS
+            from endodav_tpu.parallel.tp import build_tp_mesh, tp_window_forward
+
+            if getattr(model, "lora_type", "none") != "none":
+                raise ValueError(
+                    "--serve_mesh model=N needs the merged serving graph: "
+                    "pass --merge_lora (or lora_type none)")
+            g = int(spec.split("=", 1)[1])
+            mesh = build_tp_mesh(g)
+            tp_fwd = tp_window_forward(
+                model.clone(tp_groups=g), variables, mesh,
+                num_heads=VIT_CONFIGS[model.encoder]["num_heads"])
+
+            def fwd(win):
+                return tp_fwd(win)
+
+            fwd.precompiled = True  # already jitted over the mesh
+            return fwd
+
         if os.environ.get("ENDODAV_SPLIT_COMPILE"):
             import functools
 

@@ -60,6 +60,10 @@ class EndoDAV(nn.Module):
     temporal_lora: bool = False
     conv_head: bool = True
     out_sigmoid: bool = False
+    # tensor parallelism for the ViT trunk (parallel/tp.py): >1 builds the
+    # LOCAL view (run under shard_map with trunk params sharded over the
+    # 'model' mesh axis; decoder stays replicated)
+    tp_groups: int = 1
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -79,6 +83,7 @@ class EndoDAV(nn.Module):
             lora_variant=self.lora_type,
             lora_rank=self.r,
             lora_alpha=alpha,
+            tp_groups=self.tp_groups,
             dtype=self.dtype,
         )
         self.head = DPTDecoder(

@@ -156,7 +156,10 @@ class EndoDAVOptions:
                        help="build the training pyramid + jitter on host "
                             "(default: on device from scale-0 tensors)")
         p.add_argument("--serve_mesh", type=str, default="",
-                       help="shard video-depth window chunks over 'data=N' devices")
+                       help="'data=N': shard video-depth window chunks over N "
+                            "devices (throughput); 'model=N': tensor-parallel "
+                            "ViT trunk over N devices (per-window latency; "
+                            "needs --merge_lora)")
         p.add_argument("--fast_stitch", action="store_true",
                        help="single-kernel on-device window stitch (serving fast path)")
         p.add_argument("--merge_lora", action="store_true",

@@ -34,15 +34,19 @@ def parse_mesh_shape(spec: str | None) -> int | None:
     """Parse a ``--mesh_shape``/``--serve_mesh`` value.
 
     '' / None -> None (caller decides: all devices or no mesh);
-    'data=N' -> N.  Anything else is rejected — the framework's SPMD
-    layout is 1-D data-parallel by design (SURVEY.md §2.5: no TP/PP/EP at
-    ViT-S/L scale; the per-chip batch is the unit of work).
+    'data=N' -> N; 'model=N' -> None here — tensor parallelism is built
+    at the forward-builder level (`parallel/tp.py`, serving only), not as
+    a data mesh.  Anything else is rejected: the SPMD layout is 1-D
+    data-parallel for training (SURVEY.md §2.5: the per-chip batch is
+    the unit of work) plus the optional model axis for serving latency.
     """
     if not spec:
         return None
     if spec.startswith("data="):
         return int(spec.split("=", 1)[1])
-    raise ValueError(f"mesh spec must be 'data=N', got {spec!r}")
+    if spec.startswith("model="):
+        return None
+    raise ValueError(f"mesh spec must be 'data=N' or 'model=N', got {spec!r}")
 
 
 def build_mesh(spec: str | None = None, devices=None, default_all: bool = True,

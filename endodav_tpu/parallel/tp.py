@@ -1,0 +1,144 @@
+"""Tensor parallelism for the ViT trunk — latency scaling over ICI.
+
+Data parallelism (the `data` mesh axis, `parallel/__init__.py`) scales
+*throughput*: independent 32-frame windows per chip.  It cannot shrink
+the latency of one window, which is what bounds the live
+`eval/streaming.DepthStreamer` path and the vitl configuration (52.6
+fps/chip at 518 px — PERFORMANCE.md).  This module adds the classic
+Megatron-style column/row split of the trunk's four projections over a
+`model` mesh axis:
+
+  qkv  [C, 3C]  -> column-sharded by head group (after a one-time column
+                   permutation so each device's contiguous slice is its
+                   own packed [q|k|v] panel — see `tp_prepare_params`)
+  proj [C, C]   -> row-sharded (rows are (H, Dh)-ordered, so the
+                   contiguous split IS the head-group split); partial
+                   sums reduced with one psum
+  fc1  [C, 4C]  -> column-sharded
+  fc2  [4C, C]  -> row-sharded; psum
+
+Per block: 2 psums of [B, N, C] over ICI; everything else (patch embed,
+LayerNorms, LayerScale, ResBottleneck, the DPT/temporal decoder) is
+replicated compute on replicated activations.  The local model view is
+the SAME flax modules with ``tp_groups=g`` (models/vit.py divides heads
+and MLP hidden width and inserts the psums), run under `shard_map` so
+the Pallas flash/fused-temporal kernels see ordinary local arrays —
+automatic GSPMD partitioning cannot split a `pallas_call`, which is why
+this is a shard_map design (How-to-Scale-Your-Model recipe: pick the
+mesh, place the collectives where the math says they go).
+
+Scope: merged-LoRA serving graphs (``lora_type='none'``) — the adapter
+delta of an unmerged graph spans the sharded width and is not worth
+splitting when `merge_lora_params` already folds it exactly.
+
+The biases of the two row-sharded projections are pre-divided by g so
+the per-device bias-add survives the psum exactly (g * b/g == b).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["build_tp_mesh", "tp_prepare_params", "tp_param_specs",
+           "tp_window_forward"]
+
+
+def build_tp_mesh(n: int, devices=None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if n > len(devs):
+        raise ValueError(f"tensor-parallel mesh wants {n} devices, "
+                         f"only {len(devs)} visible")
+    return Mesh(np.array(devs[:n]), ("model",))
+
+
+def _is_trunk_proj(path):
+    """(is_qkv, is_proj, is_fc1, is_fc2) for a param path inside the
+    EndoDAV tree ('pretrained'/'blocks_i'/('attn'|'mlp')/name/leaf)."""
+    keys = [getattr(p, "key", None) for p in path]
+    if "pretrained" not in keys:
+        return (False,) * 4
+    return ("qkv" in keys, "proj" in keys and "attn" in keys,
+            "fc1" in keys, "fc2" in keys)
+
+
+def tp_prepare_params(params, g: int, num_heads: int):
+    """Transform the GLOBAL param tree for a g-way trunk split.
+
+    * qkv kernel/bias columns permuted (3, H, Dh) -> (g, 3, H/g, Dh) so a
+      contiguous g-split yields each device's packed local [q|k|v] panel;
+    * proj/fc2 biases divided by g (the psum restores them exactly);
+    * everything else untouched.
+    Returns a NEW tree (no aliasing of transformed leaves).
+    """
+    if num_heads % g:
+        raise ValueError(f"num_heads={num_heads} not divisible by tp={g}")
+
+    def fix(path, leaf):
+        is_qkv, is_proj, is_fc1, is_fc2 = _is_trunk_proj(path)
+        name = getattr(path[-1], "key", None)
+        if is_qkv:
+            c3 = leaf.shape[-1]
+            c = c3 // 3
+            dh = c // num_heads
+            parts = leaf.reshape(*leaf.shape[:-1], 3, g, num_heads // g, dh)
+            parts = jnp.swapaxes(parts, -4, -3)  # (g, 3, H/g, Dh)
+            return parts.reshape(*leaf.shape[:-1], c3)
+        if (is_proj or is_fc2) and name == "bias":
+            return leaf / g
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, params)
+
+
+def tp_param_specs(params):
+    """PartitionSpec tree for `tp_prepare_params` output: qkv/fc1
+    column-sharded, proj/fc2 kernels row-sharded, the rest replicated."""
+
+    def spec(path, leaf):
+        is_qkv, is_proj, is_fc1, is_fc2 = _is_trunk_proj(path)
+        name = getattr(path[-1], "key", None)
+        if name == "kernel":
+            if is_qkv or is_fc1:
+                return P(None, "model")
+            if is_proj or is_fc2:
+                return P("model", None)
+        if name == "bias" and (is_qkv or is_fc1):
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
+    """Jitted TP window forward: [C, T, h, w, 3] -> [C*T, h', w', 1].
+
+    ``model_local`` must be built with ``tp_groups=mesh.shape['model']``
+    and ``lora_type='none'`` (merged serving graph).  Params are
+    transformed, placed sharded on the mesh, and the forward runs under
+    shard_map so Pallas kernels trace at local shapes.
+    """
+    g = mesh.shape["model"]
+    if getattr(model_local, "lora_type", "none") != "none":
+        raise ValueError("tensor parallelism expects the merged serving "
+                         "graph (lora_type='none'); fold adapters with "
+                         "merge_lora_params first")
+    params = tp_prepare_params(variables["params"], g, num_heads)
+    specs = {"params": tp_param_specs(params)}
+    sharded = jax.device_put(
+        {"params": params},
+        jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                     is_leaf=lambda x: isinstance(x, P)))
+
+    @jax.jit
+    def fwd(win):
+        run = jax.shard_map(
+            lambda v, w: model_local.apply(v, w)[("disp", 0)],
+            mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+            check_vma=False)
+        return run(sharded, win)
+
+    return fwd

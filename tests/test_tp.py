@@ -1,0 +1,153 @@
+"""Tensor-parallel trunk (parallel/tp.py) on the virtual CPU mesh.
+
+The correctness contract: a g-way TP forward over the 'model' mesh axis
+produces the single-device output (up to f32 reduction reordering), the
+trunk params are genuinely sharded (local shard shapes are 1/g of the
+global), and the compiled module actually communicates (psums present).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from endodav_tpu.models import EndoDAV
+from endodav_tpu.parallel.tp import (
+    build_tp_mesh, tp_param_specs, tp_prepare_params, tp_window_forward)
+
+RNG = np.random.default_rng(3)
+
+KW = dict(encoder="vits", image_shape=(56, 70), num_frames=4,
+          lora_type="none", residual_block_indexes=(1,))
+
+
+@pytest.fixture(scope="module")
+def single_device_ref():
+    m = EndoDAV(**KW)
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 4, 56, 70, 3)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m.apply(variables, x)[("disp", 0)], np.float32)
+    return variables, x, ref
+
+
+@pytest.mark.parametrize("g", [2, 3])
+def test_tp_matches_single_device(single_device_ref, g):
+    variables, x, ref = single_device_ref
+    if len(jax.devices()) < g:
+        pytest.skip("needs a multi-device mesh")
+    mesh = build_tp_mesh(g)
+    local = EndoDAV(tp_groups=g, **KW)
+    fwd = tp_window_forward(local, variables, mesh, num_heads=6)
+    out = np.asarray(fwd(x), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_tp_params_actually_sharded(single_device_ref):
+    variables, x, _ = single_device_ref
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    g = 2
+    mesh = build_tp_mesh(g)
+    params = tp_prepare_params(variables["params"], g, num_heads=6)
+    specs = tp_param_specs(params)
+    blk = params["pretrained"]["blocks_0"]
+    sp = specs["pretrained"]["blocks_0"]
+    assert sp["attn"]["qkv"]["kernel"] == P(None, "model")
+    assert sp["attn"]["proj"]["kernel"] == P("model", None)
+    assert sp["mlp"]["fc1"]["kernel"] == P(None, "model")
+    assert sp["mlp"]["fc2"]["kernel"] == P("model", None)
+    assert sp["mlp"]["fc2"]["bias"] == P()
+    # decoder + embeddings replicated
+    assert all(s == P() for s in jax.tree.leaves(
+        specs["head"], is_leaf=lambda v: isinstance(v, P)))
+
+    from jax.sharding import NamedSharding
+    placed = jax.device_put(
+        blk["attn"]["qkv"]["kernel"], NamedSharding(mesh, P(None, "model")))
+    shard = placed.addressable_shards[0].data
+    assert shard.shape == (384, 3 * 384 // g)
+
+
+def test_tp_qkv_permutation_is_head_group_exact():
+    """Device gi's contiguous qkv column slice must be its own packed
+    [q|k|v] panel in (3, H/g, Dh) order."""
+    c, h, g = 12, 6, 2
+    dh = c // h
+    w = RNG.standard_normal((c, 3 * c)).astype(np.float32)
+    params = {"pretrained": {"blocks_0": {"attn": {"qkv": {"kernel": jnp.asarray(w)}}}}}
+    out = np.asarray(
+        tp_prepare_params(params, g, num_heads=h)
+        ["pretrained"]["blocks_0"]["attn"]["qkv"]["kernel"])
+    as_qkv = w.reshape(c, 3, h, dh)
+    for gi in range(g):
+        local = out[:, gi * 3 * c // g:(gi + 1) * 3 * c // g].reshape(
+            c, 3, h // g, dh)
+        np.testing.assert_array_equal(
+            local, as_qkv[:, :, gi * h // g:(gi + 1) * h // g, :])
+
+
+def test_tp_compiled_module_contains_reductions(single_device_ref):
+    variables, x, _ = single_device_ref
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = build_tp_mesh(2)
+    local = EndoDAV(tp_groups=2, **KW)
+    fwd = tp_window_forward(local, variables, mesh, num_heads=6)
+    hlo = fwd.lower(x).compile().as_text()
+    assert "all-reduce" in hlo, "TP forward compiled without any all-reduce"
+
+
+def test_tp_through_engine_and_chunk_pipeline(single_device_ref):
+    """--serve_mesh model=2 via engine.depth_window_forward must match the
+    single-device forward through the FULL infer_video_depth pipeline
+    (windows, keyframe carry, stitch)."""
+    from endodav_tpu.eval import engine
+    from endodav_tpu.eval.video_inference import infer_video_depth
+
+    variables, _, _ = single_device_ref
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    m = EndoDAV(**{**KW, "num_frames": 32})
+    v32 = m.init(jax.random.PRNGKey(0),
+                 jnp.zeros((1, 32, 56, 70, 3)))
+    frames = np.asarray(
+        RNG.integers(0, 255, (40, 64, 80, 3), dtype=np.uint8))
+
+    single = infer_video_depth(
+        engine.depth_window_forward(m, v32, "endodav"),
+        frames, image_shape=(56, 70), chunk_windows=2)
+
+    class Opt:
+        serve_mesh = "model=2"
+
+    fwd = engine.depth_window_forward(m, v32, "endodav", Opt())
+    assert getattr(fwd, "precompiled", False)
+    tp = infer_video_depth(fwd, frames, image_shape=(56, 70), chunk_windows=2)
+    np.testing.assert_allclose(tp, single, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_engine_rejects_unmerged(single_device_ref):
+    from endodav_tpu.eval import engine
+
+    variables, _, _ = single_device_ref
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    m = EndoDAV(**{**KW, "lora_type": "dvlora"})
+
+    class Opt:
+        serve_mesh = "model=2"
+
+    with pytest.raises(ValueError, match="merge_lora"):
+        engine.depth_window_forward(m, variables, "endodav", Opt())
+
+
+def test_tp_rejects_unmerged_adapters(single_device_ref):
+    variables, x, _ = single_device_ref
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = build_tp_mesh(2)
+    bad = EndoDAV(**{**KW, "lora_type": "dvlora"}, tp_groups=2)
+    with pytest.raises(ValueError, match="merge"):
+        tp_window_forward(bad, variables, mesh, num_heads=6)
