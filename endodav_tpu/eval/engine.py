@@ -179,8 +179,12 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
     (tools/bench_vitl.py) and this flag brings the same strategy to the
     eval CLIs.  The extra dispatch boundary costs one eager hop per
     chunk (~20 ms through the dev relay, <2% at vitl chunk times)."""
+    spec = (getattr(opt, "serve_mesh", "") or "") if opt is not None else ""
+    if spec.startswith("model=") and model_type != "endodav":
+        raise ValueError(
+            "--serve_mesh model=N covers the endodav video model; "
+            f"model_type={model_type!r} serves single-device (use data=N)")
     if model_type == "endodav":
-        spec = (getattr(opt, "serve_mesh", "") or "") if opt is not None else ""
         if spec.startswith("model="):
             from endodav_tpu.models.vit import VIT_CONFIGS
             from endodav_tpu.parallel.tp import build_tp_mesh, tp_window_forward

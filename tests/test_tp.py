@@ -128,6 +128,37 @@ def test_tp_through_engine_and_chunk_pipeline(single_device_ref):
     np.testing.assert_allclose(tp, single, rtol=2e-4, atol=2e-4)
 
 
+def test_tp_composes_with_streaming(single_device_ref):
+    """DepthStreamer over the TP forward (the latency story the model
+    axis exists for) must emit the same frames as over the single-device
+    forward — _chunk_fn already honors the precompiled marker."""
+    from endodav_tpu.eval import engine
+    from endodav_tpu.eval.streaming import DepthStreamer
+
+    variables, _, _ = single_device_ref
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    m = EndoDAV(**{**KW, "num_frames": 32})
+    v32 = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 56, 70, 3)))
+    frames = np.asarray(RNG.integers(0, 255, (38, 64, 80, 3), dtype=np.uint8))
+
+    class Opt:
+        serve_mesh = "model=2"
+
+    outs = {}
+    for name, fwd in (
+        ("single", engine.depth_window_forward(m, v32, "endodav")),
+        ("tp", engine.depth_window_forward(m, v32, "endodav", Opt())),
+    ):
+        s = DepthStreamer(fwd, image_shape=(56, 70))
+        got = []
+        for f in frames:
+            got.extend(s.push(f))
+        got.extend(s.flush())
+        outs[name] = np.stack(got)
+    np.testing.assert_allclose(outs["tp"], outs["single"], rtol=2e-4, atol=2e-4)
+
+
 def test_tp_engine_rejects_unmerged(single_device_ref):
     from endodav_tpu.eval import engine
 
