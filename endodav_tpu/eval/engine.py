@@ -182,8 +182,9 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
     spec = (getattr(opt, "serve_mesh", "") or "") if opt is not None else ""
     if spec.startswith("model=") and model_type != "endodav":
         raise ValueError(
-            "--serve_mesh model=N covers the endodav video model; "
-            f"model_type={model_type!r} serves single-device (use data=N)")
+            "--serve_mesh model=N covers the endodav video model only; "
+            f"model_type={model_type!r} serving is single-device (and its "
+            "batched-frame path ignores data=N too)")
     if model_type == "endodav":
         if spec.startswith("model="):
             from endodav_tpu.models.vit import VIT_CONFIGS
@@ -310,7 +311,8 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
             elif opt.model_type == "endodav":
                 from endodav_tpu.parallel import build_mesh
 
-                mesh = build_mesh(getattr(opt, "serve_mesh", "") or "", default_all=False)
+                mesh = build_mesh(getattr(opt, "serve_mesh", "") or "",
+                                  default_all=False, allow_model=True)
                 disp = infer_video_depth(
                     forward, data["colors"],
                     image_shape=tuple(getattr(opt, "depth_image_shape", (224, 280))),

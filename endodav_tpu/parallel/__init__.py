@@ -30,27 +30,31 @@ __all__ = [
 ]
 
 
-def parse_mesh_shape(spec: str | None) -> int | None:
+def parse_mesh_shape(spec: str | None, allow_model: bool = False) -> int | None:
     """Parse a ``--mesh_shape``/``--serve_mesh`` value.
 
     '' / None -> None (caller decides: all devices or no mesh);
-    'data=N' -> N; 'model=N' -> None here — tensor parallelism is built
-    at the forward-builder level (`parallel/tp.py`, serving only), not as
-    a data mesh.  Anything else is rejected: the SPMD layout is 1-D
-    data-parallel for training (SURVEY.md §2.5: the per-chip batch is
-    the unit of work) plus the optional model axis for serving latency.
+    'data=N' -> N.  With ``allow_model`` (the serving call sites only),
+    'model=N' -> None here — tensor parallelism is built at the
+    forward-builder level (`parallel/tp.py`), not as a data mesh.
+    Anything else is rejected: the SPMD layout is 1-D data-parallel for
+    training (SURVEY.md §2.5: the per-chip batch is the unit of work)
+    plus the optional model axis for serving latency — so the training
+    flag ``--mesh_shape model=N`` stays a loud error rather than a
+    silent all-devices data mesh.
     """
     if not spec:
         return None
     if spec.startswith("data="):
         return int(spec.split("=", 1)[1])
-    if spec.startswith("model="):
+    if allow_model and spec.startswith("model="):
         return None
-    raise ValueError(f"mesh spec must be 'data=N' or 'model=N', got {spec!r}")
+    expected = "'data=N' or 'model=N'" if allow_model else "'data=N'"
+    raise ValueError(f"mesh spec must be {expected}, got {spec!r}")
 
 
 def build_mesh(spec: str | None = None, devices=None, default_all: bool = True,
-               clamp: bool = False) -> Mesh | None:
+               clamp: bool = False, allow_model: bool = False) -> Mesh | None:
     """Build the 1-D data mesh.
 
     spec: 'data=N' restricts to the first N visible devices; '' / None
@@ -58,8 +62,10 @@ def build_mesh(spec: str | None = None, devices=None, default_all: bool = True,
     e.g. serving defaults to single-device unless --serve_mesh is set).
     clamp: shrink N to the visible device count instead of raising
     (training keeps running on the one tunneled chip with a pod config).
+    allow_model: accept a serving 'model=N' spec (-> None: the TP mesh
+    is built by the forward builder, parallel/tp.py).
     """
-    n = parse_mesh_shape(spec)
+    n = parse_mesh_shape(spec, allow_model=allow_model)
     if n is None and not default_all:
         return None
     devs = list(devices if devices is not None else jax.devices())

@@ -48,6 +48,8 @@ __all__ = ["build_tp_mesh", "tp_prepare_params", "tp_param_specs",
 
 
 def build_tp_mesh(n: int, devices=None) -> Mesh:
+    if n < 1:
+        raise ValueError(f"tensor-parallel mesh needs 'model=N' with N >= 1, got {n}")
     devs = list(devices if devices is not None else jax.devices())
     if n > len(devs):
         raise ValueError(f"tensor-parallel mesh wants {n} devices, "
@@ -118,27 +120,73 @@ def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
 
     ``model_local`` must be built with ``tp_groups=mesh.shape['model']``
     and ``lora_type='none'`` (merged serving graph).  Params are
-    transformed, placed sharded on the mesh, and the forward runs under
+    transformed, placed sharded on the mesh (non-param collections such
+    as batch_stats travel replicated), and the forward runs under
     shard_map so Pallas kernels trace at local shapes.
+
+    ENDODAV_SPLIT_COMPILE=1 composes a shard_map'd trunk jit with
+    per-T shard_map'd head jits (EndoDAV.encode/decode) — the same
+    strategy `engine.depth_window_forward` uses single-device, needed
+    because the whole-model vitl lowering exceeds this environment's
+    remote-compile limits (PERFORMANCE.md).
     """
+    import os
+
     g = mesh.shape["model"]
     if getattr(model_local, "lora_type", "none") != "none":
         raise ValueError("tensor parallelism expects the merged serving "
                          "graph (lora_type='none'); fold adapters with "
                          "merge_lora_params first")
+    extras = {k: v for k, v in variables.items() if k != "params"}
     params = tp_prepare_params(variables["params"], g, num_heads)
-    specs = {"params": tp_param_specs(params)}
+    specs = {"params": tp_param_specs(params),
+             **{k: jax.tree.map(lambda _: P(), v) for k, v in extras.items()}}
     sharded = jax.device_put(
-        {"params": params},
+        {"params": params, **extras},
         jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                      is_leaf=lambda x: isinstance(x, P)))
 
+    if not os.environ.get("ENDODAV_SPLIT_COMPILE"):
+        @jax.jit
+        def fwd(win):
+            run = jax.shard_map(
+                lambda v, w: model_local.apply(v, w)[("disp", 0)],
+                mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+                check_vma=False)
+            return run(sharded, win)
+
+        return fwd
+
+    # split compilation: trunk and head as separate shard_maps (the head's
+    # params are replicated; it still runs under shard_map so its Pallas
+    # temporal kernels trace at ordinary local shapes)
     @jax.jit
-    def fwd(win):
+    def trunk(win):
         run = jax.shard_map(
-            lambda v, w: model_local.apply(v, w)[("disp", 0)],
+            lambda v, w: model_local.apply(v, w, method="encode"),
             mesh=mesh, in_specs=(specs, P()), out_specs=P(),
             check_vma=False)
         return run(sharded, win)
+
+    head_vars = {"params": {"head": variables["params"]["head"]}, **extras}
+    head_specs = jax.tree.map(lambda _: P(), head_vars)
+    head_sharded = jax.device_put(
+        head_vars, jax.tree.map(lambda s: NamedSharding(mesh, s), head_specs,
+                                is_leaf=lambda x: isinstance(x, P)))
+    head_by_t: dict = {}
+
+    def fwd(win):
+        t = win.shape[1]
+        hf = head_by_t.get(t)
+        if hf is None:
+            def head_fn(v, taps, frames=t):
+                return model_local.apply(v, taps, frames,
+                                         method="decode")[("disp", 0)]
+
+            hf = jax.jit(lambda taps: jax.shard_map(
+                head_fn, mesh=mesh, in_specs=(head_specs, P()),
+                out_specs=P(), check_vma=False)(head_sharded, taps))
+            head_by_t[t] = hf
+        return hf(trunk(win))
 
     return fwd

@@ -128,6 +128,64 @@ def test_tp_through_engine_and_chunk_pipeline(single_device_ref):
     np.testing.assert_allclose(tp, single, rtol=2e-4, atol=2e-4)
 
 
+def test_tp_split_compile_matches(single_device_ref, monkeypatch):
+    """ENDODAV_SPLIT_COMPILE=1 under TP composes shard_map'd trunk/head
+    jits; output must match the whole-model TP jit (and the single-device
+    reference)."""
+    variables, x, ref = single_device_ref
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = build_tp_mesh(2)
+    local = EndoDAV(tp_groups=2, **KW)
+    monkeypatch.setenv("ENDODAV_SPLIT_COMPILE", "1")
+    fwd = tp_window_forward(local, variables, mesh, num_heads=6)
+    out = np.asarray(fwd(x), np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_mesh_spec_model_rejected_for_training():
+    """--mesh_shape model=N must stay a loud error (a silent all-devices
+    data mesh would misreport the parallelism in use); the serving call
+    sites opt in via allow_model."""
+    from endodav_tpu.parallel import build_mesh, parse_mesh_shape
+
+    with pytest.raises(ValueError, match="data=N"):
+        parse_mesh_shape("model=4")
+    assert parse_mesh_shape("model=4", allow_model=True) is None
+    assert build_mesh("model=4", default_all=False, allow_model=True) is None
+
+
+def test_build_tp_mesh_rejects_zero():
+    with pytest.raises(ValueError, match="N >= 1"):
+        build_tp_mesh(0)
+
+
+def test_tp_passes_through_extra_collections():
+    """Non-param collections (e.g. batch_stats) must travel replicated
+    through tp_window_forward, not be dropped."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    import flax.linen as nn
+
+    class WithStats(nn.Module):
+        lora_type: str = "none"
+
+        @nn.compact
+        def __call__(self, win):
+            x = nn.BatchNorm(use_running_average=True, name="bn")(win)
+            return {("disp", 0): x.mean(axis=-1, keepdims=True)}
+
+    m = WithStats()
+    win = jnp.asarray(RNG.uniform(0, 1, (1, 2, 8, 8, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), win)
+    assert "batch_stats" in v
+    mesh = build_tp_mesh(2)
+    fwd = tp_window_forward(m, v, mesh, num_heads=2)
+    out = np.asarray(fwd(win))
+    ref = np.asarray(m.apply(v, win)[("disp", 0)])
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
 def test_tp_composes_with_streaming(single_device_ref):
     """DepthStreamer over the TP forward (the latency story the model
     axis exists for) must emit the same frames as over the single-device
