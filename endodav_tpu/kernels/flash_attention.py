@@ -113,21 +113,19 @@ def qkv_flash_attention(x, w, bias, heads: int, scale: float | None = None):
 
     if int8_enabled():
         # int8 projection at padded length: one per-row quantization of
-        # xp shared by the three weight-column slices, so the int8 MXU
+        # xp shared by the three weight-column slices (via int8_dense's
+        # x_quant hook — single epilogue implementation), so the int8 MXU
         # rate composes with the fused-qkv prep win (no per-layer slice
         # copies / separate pads reappear)
-        from endodav_tpu.ops.quant import _quantize_rows, quantize_weight
+        from endodav_tpu.ops.quant import _quantize_rows, int8_dense
 
-        x8, xs = _quantize_rows(xp)
+        xq = _quantize_rows(xp)
 
         def proj(i):
-            w8, ws = quantize_weight(w[:, i * c:(i + 1) * c])
-            acc = jax.lax.dot_general(x8, w8, (((2,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.int32)
-            y = acc.astype(jnp.float32) * xs * ws
-            if bias is not None:
-                y = y + bias[i * c:(i + 1) * c].astype(jnp.float32)
-            return y.astype(x.dtype).reshape(b, n_pad, heads, dh)
+            y = int8_dense(xp, w[:, i * c:(i + 1) * c],
+                           bias[i * c:(i + 1) * c] if bias is not None else None,
+                           out_dtype=x.dtype, x_quant=xq)
+            return y.reshape(b, n_pad, heads, dh)
     else:
         def proj(i):
             y = jax.lax.dot_general(xp, w[:, i * c:(i + 1) * c],

@@ -141,13 +141,16 @@ class SpatialAttention(nn.Module):
             bd = bias.astype(self.dtype) if bias is not None else None
             out = fused_qkv_attention(x, wd, bd, self.num_heads)
         out = out.reshape(b, n, -1)
+        # one param declaration for both modes (_QKVParams mirrors
+        # nn.Dense's tree: "kernel" lecun_normal + "bias" zeros), so the
+        # runtime quant flag can never fork the checkpoint format
+        wp, bp = _QKVParams(self.dim, self.proj_bias, name="proj")(out.shape[-1])
         if int8_enabled():
-            # same param tree as nn.Dense (name/init identical) so
-            # checkpoints are unaffected by the serving-time quant flag
-            wp, bp = _QKVParams(self.dim, self.proj_bias, name="proj")(out.shape[-1])
             out = int8_dense(out, wp, bp, out_dtype=self.dtype)
         else:
-            out = nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+            out = out.astype(self.dtype) @ wp.astype(self.dtype)
+            if bp is not None:
+                out = out + bp.astype(self.dtype)
         if self.tp_axis is not None:
             out = jax.lax.psum(out, self.tp_axis)
         return out
@@ -234,6 +237,11 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, dash_phase2: bool = False):
+        if self.num_heads % self.tp_groups or (4 * self.dim) % self.tp_groups:
+            raise ValueError(
+                f"tp_groups={self.tp_groups} must divide num_heads="
+                f"{self.num_heads} and the MLP hidden width {4 * self.dim} "
+                "— a floor-divided local view would silently drop width")
         tp_axis = self.tp_axis if self.tp_groups > 1 else None
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
         x = x + LayerScale(self.dim, name="ls1")(

@@ -50,8 +50,16 @@ __all__ = ["int8_enabled", "int8_dense", "quantize_weight"]
 
 
 def int8_enabled() -> bool:
-    """True when the serving process opted into the int8 GEMM path."""
-    return bool(os.environ.get("ENDODAV_INT8"))
+    """True when the serving process opted into the int8 GEMM path.
+
+    Opt-IN flag, so falsy spellings ("0", "false", "off", "") count as
+    disabled — an A/B driven as ENDODAV_INT8=1 vs ENDODAV_INT8=0 must
+    actually compare two modes.  Training processes are guarded upstream:
+    the Trainer strips the flag from the environment at init (round()
+    has zero gradient — see module docstring).
+    """
+    return os.environ.get("ENDODAV_INT8", "").strip().lower() not in (
+        "", "0", "false", "off", "no")
 
 
 def quantize_weight(w: jnp.ndarray):
@@ -75,18 +83,23 @@ def _quantize_rows(x: jnp.ndarray):
 
 
 def int8_dense(x: jnp.ndarray, w: jnp.ndarray, bias=None,
-               out_dtype=None) -> jnp.ndarray:
+               out_dtype=None, x_quant=None) -> jnp.ndarray:
     """y = x @ w (+ bias) with the contraction on the int8 MXU.
 
     x: [..., in] activations (f32/bf16), w: [in, out] kernel (f32/bf16).
     Quantization is dynamic on both sides (docstring above); the rescale
     epilogue and bias-add run in f32, the result is cast to ``out_dtype``
     (default: x.dtype).
+
+    ``x_quant``: optional precomputed ``(x8, x_scale)`` pair (from
+    `_quantize_rows`) so a caller projecting several weight panels from
+    one activation — the fused-qkv path — shares a single activation
+    quantization while keeping this one epilogue implementation.
     """
     if out_dtype is None:
         out_dtype = x.dtype
     w8, w_scale = quantize_weight(w)
-    x8, x_scale = _quantize_rows(x)
+    x8, x_scale = x_quant if x_quant is not None else _quantize_rows(x)
     ndim = x8.ndim
     acc = jax.lax.dot_general(
         x8, w8, (((ndim - 1,), (0,)), ((), ())),

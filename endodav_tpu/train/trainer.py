@@ -170,6 +170,12 @@ def _flatten_bt(batch: dict) -> dict:
 class Trainer:
     def __init__(self, opt):
         self.opt = opt
+        if os.environ.pop("ENDODAV_INT8", None):
+            # serving-only flag: round() has zero gradient, so a training
+            # process that inherited it would silently stop updating every
+            # parameter upstream of the quantized GEMMs (ops/quant.py)
+            print("[train] ENDODAV_INT8 is serving-only — ignored for "
+                  "training (zero-gradient round() would freeze the trunk)")
         assert opt.height % 32 == 0 and opt.width % 32 == 0
         assert opt.frame_ids[0] == 0
         self.log_path = os.path.join(opt.log_dir, opt.model_type)

@@ -89,6 +89,70 @@ def test_endodav_int8_whole_model_deviation(tiny_endodav_out, monkeypatch):
     assert diff.mean() < 0.01, diff.mean()
 
 
+def test_int8_enabled_falsy_spellings(monkeypatch):
+    """Opt-IN flag: ENDODAV_INT8=0/false must mean OFF, or an A/B driven
+    as 1-vs-0 compares int8 to int8."""
+    from endodav_tpu.ops.quant import int8_enabled
+
+    for off in ("0", "false", "False", "off", "no", "", "  "):
+        monkeypatch.setenv("ENDODAV_INT8", off)
+        assert not int8_enabled(), repr(off)
+    for on in ("1", "true", "yes"):
+        monkeypatch.setenv("ENDODAV_INT8", on)
+        assert int8_enabled(), repr(on)
+
+
+def test_fused_qkv_int8_matches_fallback_interpret(monkeypatch):
+    """The production TPU path — int8 projection inside qkv_flash_attention
+    (padded length, shared x quantization) — vs the XLA-fallback int8
+    path, in Pallas interpret mode.  CPU-only suites never enter the
+    fused branch otherwise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from endodav_tpu.kernels.flash_attention import qkv_flash_attention
+    from endodav_tpu.ops.attention import fused_qkv_attention
+
+    monkeypatch.setenv("ENDODAV_INT8", "1")
+    b, n, c, h = 1, 200, 128, 2  # dh=64, the kernel's lane-slice width
+    x = jnp.asarray(RNG.standard_normal((b, n, c)).astype(np.float32))
+    w = jnp.asarray(RNG.standard_normal((c, 3 * c)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(RNG.standard_normal((3 * c,)).astype(np.float32) * 0.1)
+    fallback = np.asarray(fused_qkv_attention(x, w, bias, h))
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(qkv_flash_attention(x, w, bias, h))
+    np.testing.assert_allclose(fused, fallback, atol=3e-5)
+
+
+def test_vitblock_rejects_non_dividing_tp_groups():
+    from endodav_tpu.models.vit import ViTBlock
+
+    blk = ViTBlock(384, 6, (4, 5), tp_groups=4)  # 6 heads % 4 != 0
+    x = jnp.zeros((1, 21, 384))
+    with pytest.raises(ValueError, match="tp_groups"):
+        blk.init(jax.random.PRNGKey(0), x)
+
+
+def test_trainer_strips_int8_flag(monkeypatch, capsys):
+    """A training process that inherited the serving-only flag must strip
+    it (zero-gradient round() would silently freeze the trunk)."""
+    import os
+
+    from endodav_tpu.train.trainer import Trainer
+
+    monkeypatch.setenv("ENDODAV_INT8", "1")
+    # __init__ strips the env before any heavy work; the assert that
+    # follows it aborts the (expensive) model build for this test
+    class _BadOpts:
+        height, width = 33, 32  # fails the %32 assert right after the guard
+        frame_ids = [0]
+        log_dir, model_type = "/tmp/q", "endodav"
+
+    with pytest.raises(AssertionError):
+        Trainer(_BadOpts())
+    assert "ENDODAV_INT8" not in os.environ
+    assert "serving-only" in capsys.readouterr().out
+
+
 def test_lora_variants_ignore_quant_flag(monkeypatch):
     """Unmerged adapter variants keep the f32/bf16 path: quant is scoped
     to the merged (variant='none') serving graph."""

@@ -92,7 +92,9 @@ def main():
         t0 = time.perf_counter()
         out = jax.block_until_ready(run(chunks[0]))
         print(f"[{mode}] compile {time.perf_counter()-t0:.1f}s", flush=True)
-        outs[mode] = np.asarray(out[:1], np.float32)
+        # deviation over the FULL chunk (a frame-0 slice would understate
+        # artifacts on later frames); one extra transfer in a benchmark
+        outs[mode] = np.asarray(out, np.float32)
         times = []
         for i in range(args.iters):
             t0 = time.perf_counter()
