@@ -34,6 +34,25 @@ from endodav_tpu.ops.resize import resize2d
 __all__ = ["DPTDecoder", "HeadDepth"]
 
 
+class _ConvParams(nn.Module):
+    """nn.Conv's exact param tree (kernel HWIO + bias, same names/inits),
+    returned raw so ResidualConvUnit can route the math to either the
+    XLA composition or the fused Pallas kernel without forking the
+    checkpoint format."""
+
+    features: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.ksize, self.ksize, in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class ResidualConvUnit(nn.Module):
     features: int
     use_bn: bool = False
@@ -41,12 +60,42 @@ class ResidualConvUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        c_in = x.shape[-1]
+        w1, b1 = _ConvParams(self.features, name="conv1")(c_in)
+        w2, b2 = _ConvParams(self.features, name="conv2")(self.features)
+
+        # fused Pallas path (kernels/fused_rcu.py): inference-only, no-BN,
+        # C small enough for the in-VMEM im2col panel; default OFF until
+        # the device A/B (agenda stage `rcu`) says otherwise
+        use_fused = (
+            not self.use_bn and not train
+            and self.features <= 128 and c_in == self.features
+            and jax.default_backend() == "tpu"
+            and os.environ.get("ENDODAV_FUSED_RCU")
+        )
+        if use_fused:
+            try:
+                from endodav_tpu.kernels.fused_rcu import fused_rcu
+
+                return fused_rcu(x, w1, b1, w2, b2)
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"endodav_tpu: Pallas fused_rcu failed "
+                    f"({type(e).__name__}: {e}); falling back to XLA convs",
+                    RuntimeWarning)
+
+        dn = ("NHWC", "HWIO", "NHWC")
+        conv = lambda v, w, b: jax.lax.conv_general_dilated(
+            v, w.astype(self.dtype), (1, 1), "SAME",
+            dimension_numbers=dn) + b.astype(self.dtype)
         y = jax.nn.relu(x)
-        y = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(y)
+        y = conv(y.astype(self.dtype), w1, b1)
         if self.use_bn:
             y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
         y = jax.nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(y)
+        y = conv(y, w2, b2)
         if self.use_bn:
             y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
         return y + x

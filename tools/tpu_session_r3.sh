@@ -90,4 +90,16 @@ run_int8model() {
 }
 stage int8model run_int8model
 
+# fused ResidualConvUnit kernel A/B (in-VMEM im2col, kernels/fused_rcu.py)
+run_rcu() {
+  for cfg in 518 224; do
+    echo "--- config $cfg, XLA RCU (default)"
+    python -u tools/bench_fused_e2e.py --config "$cfg" --iters 6 || return 1
+    echo "--- config $cfg, fused RCU (ENDODAV_FUSED_RCU=1)"
+    ENDODAV_FUSED_RCU=1 python -u tools/bench_fused_e2e.py \
+        --config "$cfg" --iters 6 || return 1
+  done
+}
+stage rcu run_rcu
+
 echo "== all stages attempted; logs in $OUT"
