@@ -93,6 +93,20 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, bh, w, c, h):
 def _fused_rcu_impl(x, w1, b1, w2, b2, *, block_rows, interpret):
     b, h, w, c = x.shape
     bh = min(block_rows, h)
+    # shrink the band until the VMEM working set fits: the two im2col
+    # panels dominate ((bh+2)*(W+2)*9C + bh*W*9C elements); at the 518px
+    # path_1 width (W=736, C=64) bh=8 would need ~17 MB
+    bytes_el = 2 if x.dtype == jnp.bfloat16 else 4
+
+    def band_bytes(rows):
+        col1 = (rows + 2) * (w + 2) * 9 * c * bytes_el
+        col2 = rows * w * 9 * c * bytes_el
+        xb = (rows + 4) * (w + 4) * c * bytes_el
+        acc = (rows + 2) * (w + 2) * c * 4 * 2  # f32 acc1 + masked t1
+        return col1 + col2 + xb + acc
+
+    while bh > 1 and band_bytes(bh) > 10 * 2 ** 20:
+        bh = max(1, bh // 2)
     hp = pl.cdiv(h, bh) * bh
     xp = jnp.pad(x, ((0, 0), (2, 2 + hp - h), (2, 2), (0, 0)))
 
