@@ -46,8 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_rcu", "rcu_reference"]
 
 
-def rcu_reference(x, w1, b1, w2, b2):
-    """The exact XLA composition the kernel replaces (NHWC, SAME)."""
+def rcu_reference(x, w1, b1, w2, b2, skip=None):
+    """The exact XLA composition the kernel replaces (NHWC, SAME).
+
+    ``skip``: residual input for the final add (defaults to x); the
+    dpt.py caller passes the *uncast* activation here so the output
+    dtype promotion matches the historical nn.Conv composition exactly.
+    """
     dn = ("NHWC", "HWIO", "NHWC")
     y = jax.nn.relu(x)
     y = jax.lax.conv_general_dilated(y, w1.astype(x.dtype), (1, 1), "SAME",
@@ -57,7 +62,7 @@ def rcu_reference(x, w1, b1, w2, b2):
     y = jax.lax.conv_general_dilated(y, w2.astype(x.dtype), (1, 1), "SAME",
                                      dimension_numbers=dn)
     y = y + b2.astype(x.dtype)
-    return y + x
+    return y + (x if skip is None else skip)
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, bh, w, c, h):

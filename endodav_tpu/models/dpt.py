@@ -66,12 +66,18 @@ class ResidualConvUnit(nn.Module):
 
         # fused Pallas path (kernels/fused_rcu.py): inference-only, no-BN,
         # C small enough for the in-VMEM im2col panel; default OFF until
-        # the device A/B (agenda stage `rcu`) says otherwise
+        # the device A/B (agenda stage `rcu`) says otherwise.  NOTE: the
+        # except below covers trace-time failures only — a Mosaic
+        # lowering/VMEM error surfaces at whole-model COMPILE time, where
+        # the remedy is unsetting the flag (the A/B stage tolerates a
+        # failed leg).
+        from endodav_tpu.ops.quant import env_on
+
         use_fused = (
             not self.use_bn and not train
             and self.features <= 128 and c_in == self.features
             and jax.default_backend() == "tpu"
-            and os.environ.get("ENDODAV_FUSED_RCU")
+            and env_on("ENDODAV_FUSED_RCU")
         )
         if use_fused:
             try:
@@ -82,22 +88,27 @@ class ResidualConvUnit(nn.Module):
                 import warnings
 
                 warnings.warn(
-                    f"endodav_tpu: Pallas fused_rcu failed "
+                    f"endodav_tpu: Pallas fused_rcu failed at trace time "
                     f"({type(e).__name__}: {e}); falling back to XLA convs",
                     RuntimeWarning)
+
+        from endodav_tpu.kernels.fused_rcu import rcu_reference
+
+        if not self.use_bn:
+            # skip=x keeps the historical output-dtype promotion
+            # (y [self.dtype] + x [input dtype]) of the nn.Conv stack
+            return rcu_reference(x.astype(self.dtype), w1, b1, w2, b2, skip=x)
 
         dn = ("NHWC", "HWIO", "NHWC")
         conv = lambda v, w, b: jax.lax.conv_general_dilated(
             v, w.astype(self.dtype), (1, 1), "SAME",
             dimension_numbers=dn) + b.astype(self.dtype)
-        y = jax.nn.relu(x)
-        y = conv(y.astype(self.dtype), w1, b1)
-        if self.use_bn:
-            y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = jax.nn.relu(x.astype(self.dtype))
+        y = conv(y, w1, b1)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
         y = jax.nn.relu(y)
         y = conv(y, w2, b2)
-        if self.use_bn:
-            y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
         return y + x
 
 

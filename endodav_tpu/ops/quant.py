@@ -46,20 +46,25 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["int8_enabled", "int8_dense", "quantize_weight"]
+__all__ = ["env_on", "int8_enabled", "int8_dense", "quantize_weight"]
+
+
+def env_on(name: str) -> bool:
+    """Truthiness for opt-IN env flags: falsy spellings ("0", "false",
+    "off", "no", "") count as disabled — an A/B driven as FLAG=1 vs
+    FLAG=0 must actually compare two modes."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "off", "no")
 
 
 def int8_enabled() -> bool:
     """True when the serving process opted into the int8 GEMM path.
 
-    Opt-IN flag, so falsy spellings ("0", "false", "off", "") count as
-    disabled — an A/B driven as ENDODAV_INT8=1 vs ENDODAV_INT8=0 must
-    actually compare two modes.  Training processes are guarded upstream:
-    the Trainer strips the flag from the environment at init (round()
-    has zero gradient — see module docstring).
+    Training processes are guarded upstream: the Trainer strips the flag
+    from the environment at init (round() has zero gradient — see module
+    docstring).
     """
-    return os.environ.get("ENDODAV_INT8", "").strip().lower() not in (
-        "", "0", "false", "off", "no")
+    return env_on("ENDODAV_INT8")
 
 
 def quantize_weight(w: jnp.ndarray):

@@ -58,10 +58,15 @@ def test_fused_rcu_gradients_match_reference():
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_rcu_module_matches_nn_conv_composition():
+def test_rcu_module_matches_nn_conv_composition(monkeypatch):
     """The dpt.py refactor (raw params + lax conv) must equal the old
     nn.Conv composition bit-for-bit given the same params."""
     import flax.linen as nn
+
+    # this pins the PARAM REFACTOR, not the kernel: on a real-TPU suite
+    # run an exported ENDODAV_FUSED_RCU would reroute apply() and fail
+    # the bit-exact assert on accumulation order
+    monkeypatch.delenv("ENDODAV_FUSED_RCU", raising=False)
 
     from endodav_tpu.models.dpt import ResidualConvUnit
 
