@@ -20,7 +20,12 @@ OVERLAPPING band of ``bh + 4`` rows via `pl.Element` indexing (halo 2 =
 two stacked 3x3 convs); the host pads H to a band multiple and W by 2
 on each side, so in-kernel slicing is static.  Weights ride VMEM as
 pre-reshaped [9C, C] panels, constant across the grid (DMA elided after
-the first step).
+the first step).  Cost accounting: the host-side pad is one extra HBM
+round trip of the input (~0.23 GB/chunk at 518px path_2 — ~13% of the
+~1.8 GB intermediate traffic the fusion removes) and the ``out[:, :h]``
+slice copies only when H is not a band multiple; folding the borders
+into the kernel's existing validity mask would remove both if the
+device A/B shows them to matter.
 
 Scope: inference forward for C <= 128 (vits features=64).  At vitl's
 C=256 the [M, 9C] panel alone exceeds the VMEM budget; XLA keeps that
