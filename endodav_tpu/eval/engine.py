@@ -180,6 +180,14 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
     eval CLIs.  The extra dispatch boundary costs one eager hop per
     chunk (~20 ms through the dev relay, <2% at vitl chunk times)."""
     spec = (getattr(opt, "serve_mesh", "") or "") if opt is not None else ""
+    env_flags = [n for n in ("ENDODAV_NO_FLASH", "ENDODAV_NO_FUSED",
+                             "ENDODAV_NO_WARP_MM", "ENDODAV_INT8",
+                             "ENDODAV_FUSED_RCU", "ENDODAV_SPLIT_COMPILE",
+                             "ENDODAV_HIRES_OUTCONV")
+                 if os.environ.get(n)]
+    print(f"[serve] forward: model_type={model_type}"
+          + (f" serve_mesh={spec}" if spec else "")
+          + (f" env={'+'.join(env_flags)}" if env_flags else ""))
     if spec.startswith("model=") and model_type != "endodav":
         raise ValueError(
             "--serve_mesh model=N covers the endodav video model only; "
