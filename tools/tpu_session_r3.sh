@@ -103,3 +103,11 @@ run_rcu() {
 stage rcu run_rcu
 
 echo "== all stages attempted; logs in $OUT"
+
+# Mirror the raw logs into the repo so an unattended pass survives the
+# round boundary (the round driver commits stray files; a later session
+# folds the numbers into PERFORMANCE.md and prunes this directory).
+mkdir -p bench_logs_r3
+cp "$OUT"/*.log bench_logs_r3/ 2>/dev/null || true
+ls "$OUT"/*.done 2>/dev/null | sed 's#.*/##' > bench_logs_r3/stages_done.txt || true
+echo "== logs mirrored to bench_logs_r3/"
