@@ -188,32 +188,33 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
     print(f"[serve] forward: model_type={model_type}"
           + (f" serve_mesh={spec}" if spec else "")
           + (f" env={'+'.join(env_flags)}" if env_flags else ""))
-    if spec.startswith("model=") and model_type != "endodav":
-        raise ValueError(
-            "--serve_mesh model=N covers the endodav video model only; "
-            f"model_type={model_type!r} serving is single-device (and its "
-            "batched-frame path ignores data=N too)")
+    if spec.startswith("model="):
+        if model_type not in ("endodav", "endodac"):
+            raise ValueError(
+                "--serve_mesh model=N covers the endodav/endodac ViT models; "
+                f"model_type={model_type!r} serving is single-device (and its "
+                "path ignores data=N too)")
+        from endodav_tpu.models.vit import VIT_CONFIGS
+        from endodav_tpu.parallel.tp import build_tp_mesh, tp_window_forward
+
+        if getattr(model, "lora_type", "none") != "none":
+            raise ValueError(
+                "--serve_mesh model=N needs the merged serving graph: "
+                "pass --merge_lora (or lora_type none)")
+        size = getattr(model, "encoder", None) or model.backbone_size
+        g = int(spec.split("=", 1)[1])
+        mesh = build_tp_mesh(g)
+        tp_fwd = tp_window_forward(
+            model.clone(tp_groups=g), variables, mesh,
+            num_heads=VIT_CONFIGS[size]["num_heads"])
+
+        def fwd(win):
+            return tp_fwd(win)
+
+        fwd.precompiled = True  # already jitted over the mesh
+        return fwd
+
     if model_type == "endodav":
-        if spec.startswith("model="):
-            from endodav_tpu.models.vit import VIT_CONFIGS
-            from endodav_tpu.parallel.tp import build_tp_mesh, tp_window_forward
-
-            if getattr(model, "lora_type", "none") != "none":
-                raise ValueError(
-                    "--serve_mesh model=N needs the merged serving graph: "
-                    "pass --merge_lora (or lora_type none)")
-            g = int(spec.split("=", 1)[1])
-            mesh = build_tp_mesh(g)
-            tp_fwd = tp_window_forward(
-                model.clone(tp_groups=g), variables, mesh,
-                num_heads=VIT_CONFIGS[model.encoder]["num_heads"])
-
-            def fwd(win):
-                return tp_fwd(win)
-
-            fwd.precompiled = True  # already jitted over the mesh
-            return fwd
-
         if os.environ.get("ENDODAV_SPLIT_COMPILE"):
             import functools
 

@@ -56,6 +56,9 @@ class EndoDAC(nn.Module):
     pre_norm: bool = False
     inv_sigmoid: bool = False
     conv_head: bool = True
+    # tensor parallelism for the ViT trunk (parallel/tp.py; same
+    # 'pretrained' param subtree as EndoDAV, so the same sharding applies)
+    tp_groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -77,6 +80,7 @@ class EndoDAC(nn.Module):
             lora_variant=self.lora_type,
             lora_rank=self.r,
             lora_alpha=_endodac_lora_alpha(self.lora_type, self.r),
+            tp_groups=self.tp_groups,
             dtype=self.dtype,
             name="pretrained",
         )(x, cfg["intermediate"], dash_phase2)

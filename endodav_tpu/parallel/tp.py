@@ -116,7 +116,9 @@ def tp_param_specs(params):
 
 
 def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
-    """Jitted TP window forward: [C, T, h, w, 3] -> [C*T, h', w', 1].
+    """Jitted TP forward: window chunks [C, T, h, w, 3] -> [C*T, h', w', 1]
+    for EndoDAV, frame batches [B, h, w, 3] -> [B, h', w', 1] for EndoDAC
+    (both expose the same 'pretrained' trunk subtree and disp-dict output).
 
     ``model_local`` must be built with ``tp_groups=mesh.shape['model']``
     and ``lora_type='none'`` (merged serving graph).  Params are
@@ -146,7 +148,10 @@ def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
         jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                      is_leaf=lambda x: isinstance(x, P)))
 
-    if not os.environ.get("ENDODAV_SPLIT_COMPILE"):
+    # split compilation needs the model's encode/decode methods (EndoDAV);
+    # single-frame EndoDAC compiles whole-model regardless of the flag
+    if (not os.environ.get("ENDODAV_SPLIT_COMPILE")
+            or not hasattr(model_local, "encode")):
         @jax.jit
         def fwd(win):
             run = jax.shard_map(

@@ -232,6 +232,32 @@ def test_tp_engine_rejects_unmerged(single_device_ref):
         engine.depth_window_forward(m, variables, "endodav", Opt())
 
 
+def test_tp_endodac_single_frame(single_device_ref):
+    """--serve_mesh model=N also covers the single-frame EndoDAC (same
+    'pretrained' trunk subtree), through the engine + batched pipeline."""
+    from endodav_tpu.eval import engine
+    from endodav_tpu.eval.video_inference import infer_video_depth_single_frame
+    from endodav_tpu.models import EndoDAC
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    m = EndoDAC(backbone_size="vits", image_shape=(56, 70), lora_type="none",
+                residual_block_indexes=(1,))
+    x = jnp.zeros((2, 56, 70, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    frames = np.asarray(RNG.integers(0, 255, (5, 64, 80, 3), dtype=np.uint8))
+
+    single = infer_video_depth_single_frame(
+        engine.depth_window_forward(m, v, "endodac"), frames, batch_size=2)
+
+    class Opt:
+        serve_mesh = "model=2"
+
+    fwd = engine.depth_window_forward(m, v, "endodac", Opt())
+    tp = infer_video_depth_single_frame(fwd, frames, batch_size=2)
+    np.testing.assert_allclose(tp, single, rtol=2e-4, atol=2e-4)
+
+
 def test_tp_rejects_unmerged_adapters(single_device_ref):
     variables, x, _ = single_device_ref
     if len(jax.devices()) < 2:
