@@ -17,6 +17,8 @@ device mesh rather than DataParallel.
 
 __version__ = "0.1.0"
 
+from endodav_tpu.utils.envflags import env_on
+
 
 def _apply_platform_override():
     """ENDODAV_FORCE_PLATFORM=cpu forces the JAX platform from the
@@ -47,7 +49,7 @@ def _enable_persistent_compile_cache():
     Opt out with ENDODAV_TPU_NO_COMPILE_CACHE=1."""
     import os
 
-    if os.environ.get("ENDODAV_TPU_NO_COMPILE_CACHE"):
+    if env_on("ENDODAV_TPU_NO_COMPILE_CACHE"):
         return
     try:
         import jax

@@ -25,6 +25,7 @@ from endodav_tpu.models import EndoDAC, EndoDAV
 from endodav_tpu.models.decoders import IntrinsicsHead, PoseDecoder
 from endodav_tpu.models.resnet import ResNetEncoder
 from endodav_tpu.utils import checkpoint as ckpt
+from endodav_tpu.utils.envflags import env_on
 
 __all__ = [
     "build_depth_model",
@@ -215,7 +216,7 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
         return fwd
 
     if model_type == "endodav":
-        if os.environ.get("ENDODAV_SPLIT_COMPILE"):
+        if env_on("ENDODAV_SPLIT_COMPILE"):
             import functools
 
             trunk = jax.jit(

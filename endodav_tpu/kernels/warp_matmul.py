@@ -36,7 +36,10 @@ for ANY coordinates — one-hot selection means the trimmed region only
 ever contributed exact zeros):
 
   * row bands: an 8-aligned `_BAND`-row window per chunk cuts the MXU
-    contraction H -> _BAND (4x at H=256);
+    contraction H -> _BAND (4x at H=256).  The plan's alignment is
+    restated in-kernel via `pl.multiple_of` — Mosaic cannot prove a
+    scalar-prefetched start is 8-aligned and rejects the vector.load
+    otherwise (round-3 device failure);
   * lane windows (`ENDODAV_WARP_TILE=1`): pixels are re-ordered into
     th x tw spatial tiles per chunk (pure reshape/transpose on the XLA
     side) so the chunk's x-footprint is tile-sized too, and a
@@ -77,6 +80,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+from endodav_tpu.utils.envflags import env_on
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -185,13 +190,13 @@ _LANE = 128  # TPU lane width: x-window size/alignment unit (in lanes)
 def _banding_enabled(h: int) -> bool:
     """Banding applies when the image is taller than one band;
     ENDODAV_WARP_NOBAND=1 forces the full-height path (A/B switch)."""
-    return h > _BAND and not os.environ.get("ENDODAV_WARP_NOBAND")
+    return h > _BAND and not env_on("ENDODAV_WARP_NOBAND")
 
 
 def _tiling_enabled() -> bool:
     """Spatial-tile pixel ordering + lane windows (ENDODAV_WARP_TILE=1;
     off by default until device-measured)."""
-    return bool(os.environ.get("ENDODAV_WARP_TILE"))
+    return env_on("ENDODAV_WARP_TILE")
 
 
 def _lane_window(C: int) -> int:
@@ -243,7 +248,12 @@ def _band_plan(packed, h, pb, wcp=None, lw=None, C=1):
     rows = lambda r: packed[:, r, :].reshape(b, nc, pb)
     lo = jnp.min(rows(0), axis=2)
     hi = jnp.max(rows(1), axis=2)
-    start = jnp.minimum(jnp.floor(lo / 8.0) * 8.0, float(max(h - _BAND, 0)))
+    # the clamp must itself be 8-aligned (align DOWN: h % 8 != 0 would
+    # otherwise break the pl.multiple_of promise the kernels assert —
+    # silent misaligned loads); chunks needing the last h % 8 rows then
+    # simply fail the `ok` window test and take the exact full branch
+    start = jnp.minimum(jnp.floor(lo / 8.0) * 8.0,
+                        float(max(h - _BAND, 0) // 8 * 8))
     ok = (hi - start) <= float(_BAND - 1)
     if lw is None:
         lane = jnp.zeros_like(start)
@@ -303,7 +313,7 @@ def _fwd_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, o_ref, *,
         o_ref[0, :, pl.ds(start, pb)] = x_stage(rt, WC, 0)
 
     if banded:
-        row0 = band_ref[bi, pi]
+        row0 = pl.multiple_of(band_ref[bi, pi], 8)
 
         @pl.when(ok_ref[bi, pi] != 0)
         def _banded():
@@ -311,7 +321,7 @@ def _fwd_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, o_ref, *,
                 sub = img_ref[0, pl.ds(row0, _BAND), :]
                 wc, l0 = WC, 0
             else:
-                l0 = lane_ref[bi, pi]
+                l0 = pl.multiple_of(lane_ref[bi, pi], _LANE)
                 sub = img_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)]
                 wc = lw
             ohyt = _ohyt(y0, y1, wy0, wy1, _BAND, pb, row0)
@@ -376,14 +386,14 @@ def _bwd_coord_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, g_ref,
         dw_ref[0, :, pl.ds(start, pb)] = out
 
     if banded:
-        row0 = band_ref[bi, pi]
+        row0 = pl.multiple_of(band_ref[bi, pi], 8)
 
         @pl.when(ok_ref[bi, pi] != 0)
         def _banded():
             if lw is None:
                 core(img_ref[0, pl.ds(row0, _BAND), :], _BAND, row0, WC, 0)
             else:
-                l0 = lane_ref[bi, pi]
+                l0 = pl.multiple_of(lane_ref[bi, pi], _LANE)
                 core(img_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)],
                      _BAND, row0, lw, l0)
 
@@ -413,7 +423,7 @@ def _bwd_img_kernel(band_ref, lane_ref, ok_ref, c_ref, g_ref, dimg_ref, *,
         dimg_ref[0] = jnp.zeros((H, WC), dimg_ref.dtype)
 
     if banded:
-        row0 = band_ref[bi, pi]
+        row0 = pl.multiple_of(band_ref[bi, pi], 8)
 
         @pl.when(ok_ref[bi, pi] != 0)
         def _banded():
@@ -422,7 +432,7 @@ def _bwd_img_kernel(band_ref, lane_ref, ok_ref, c_ref, g_ref, dimg_ref, *,
                 upd = _dot3(ohyt, dr_of(WC, 0), ((1,), (1,)))
                 dimg_ref[0, pl.ds(row0, _BAND), :] += upd.astype(dimg_ref.dtype)
             else:
-                l0 = lane_ref[bi, pi]
+                l0 = pl.multiple_of(lane_ref[bi, pi], _LANE)
                 upd = _dot3(ohyt, dr_of(lw, l0), ((1,), (1,)))
                 dimg_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)] += (
                     upd.astype(dimg_ref.dtype))
@@ -640,7 +650,7 @@ def _splat_kernel(band_ref, lane_ref, ok_ref, c_ref, occ_ref, *, H: int,
         occ_ref[0] = jnp.zeros((H, Wp), occ_ref.dtype)
 
     if banded:
-        row0 = band_ref[bi, pi]
+        row0 = pl.multiple_of(band_ref[bi, pi], 8)
 
         @pl.when(ok_ref[bi, pi] != 0)
         def _banded():
@@ -649,7 +659,7 @@ def _splat_kernel(band_ref, lane_ref, ok_ref, c_ref, occ_ref, *, H: int,
                 occ_ref[0, pl.ds(row0, _BAND), :] += _dot3(
                     at, bt_of(Wp, 0), ((1,), (1,)))
             else:
-                l0 = lane_ref[bi, pi]
+                l0 = pl.multiple_of(lane_ref[bi, pi], _LANE)
                 occ_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)] += _dot3(
                     at, bt_of(lw, l0), ((1,), (1,)))
 

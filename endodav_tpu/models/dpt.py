@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from endodav_tpu.models.motion import TemporalModule
 from endodav_tpu.ops.resize import resize2d
+from endodav_tpu.utils.envflags import env_on
 
 __all__ = ["DPTDecoder", "HeadDepth"]
 
@@ -137,7 +138,7 @@ class FeatureFusionBlock(nn.Module):
         if size is None:
             size = (x.shape[1] * 2, x.shape[2] * 2)
         out_conv = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")
-        if os.environ.get("ENDODAV_HIRES_OUTCONV"):
+        if env_on("ENDODAV_HIRES_OUTCONV"):
             x = resize2d(x, size, "bilinear", align_corners=True)
             return out_conv(x)
         x = out_conv(x)

@@ -28,6 +28,7 @@ import numpy as np
 
 from endodav_tpu.models.lora import LoRADense
 from endodav_tpu.ops.attention import multi_head_attention
+from endodav_tpu.utils.envflags import env_on
 
 __all__ = ["TemporalModule", "sinusoidal_time_encoding", "rope_tables"]
 
@@ -45,7 +46,7 @@ def _use_fused_block(pos_embedding_type: str, dim: int) -> bool:
     """
     import os
 
-    if os.environ.get("ENDODAV_NO_FUSED"):
+    if env_on("ENDODAV_NO_FUSED"):
         return False
     return jax.default_backend() == "tpu" and pos_embedding_type == "ape"
 
@@ -204,7 +205,7 @@ class TemporalTransformerBlock(nn.Module):
             # loss inside the train step until measured otherwise.
             # ENDODAV_FUSED_TRAIN=1 opts the train step in (A/B switch).
             import os
-            allow_train = bool(os.environ.get("ENDODAV_FUSED_TRAIN"))
+            allow_train = env_on("ENDODAV_FUSED_TRAIN")
             fused = ((not train or allow_train)
                      and _use_fused_block(self.pos_embedding_type, self.dim))
         for i in range(self.num_attention_blocks):

@@ -23,6 +23,7 @@ import subprocess
 import threading
 
 import numpy as np
+from endodav_tpu.utils.envflags import env_on
 
 __all__ = [
     "available", "decode_rgb", "decode_rgb_batch",
@@ -68,7 +69,7 @@ def _load():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if os.environ.get("ENDODAV_NO_NATIVE"):
+        if env_on("ENDODAV_NO_NATIVE"):
             _failed = True
             return None
         try:

@@ -21,6 +21,7 @@ import warnings
 
 import jax
 import jax.numpy as jnp
+from endodav_tpu.utils.envflags import env_on
 
 __all__ = ["multi_head_attention", "fused_qkv_attention"]
 
@@ -55,7 +56,7 @@ def fused_qkv_attention(x, w, bias, heads: int,
 
     b, n, c = x.shape
     use_pallas = (jax.default_backend() == "tpu"
-                  and not os.environ.get("ENDODAV_NO_FLASH") and n > 64)
+                  and not env_on("ENDODAV_NO_FLASH") and n > 64)
     if use_pallas:
         try:
             from endodav_tpu.kernels.flash_attention import qkv_flash_attention
@@ -105,7 +106,7 @@ def multi_head_attention(
         import os
 
         use_pallas = (jax.default_backend() == "tpu"
-                      and not os.environ.get("ENDODAV_NO_FLASH"))
+                      and not env_on("ENDODAV_NO_FLASH"))
     if use_pallas and q.shape[1] > 64:
         try:
             from endodav_tpu.kernels.flash_attention import flash_attention

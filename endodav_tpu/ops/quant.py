@@ -46,15 +46,9 @@ import os
 import jax
 import jax.numpy as jnp
 
+from endodav_tpu.utils.envflags import env_on  # canonical home; re-exported
+
 __all__ = ["env_on", "int8_enabled", "int8_dense", "quantize_weight"]
-
-
-def env_on(name: str) -> bool:
-    """Truthiness for opt-IN env flags: falsy spellings ("0", "false",
-    "off", "no", "") count as disabled — an A/B driven as FLAG=1 vs
-    FLAG=0 must actually compare two modes."""
-    return os.environ.get(name, "").strip().lower() not in (
-        "", "0", "false", "off", "no")
 
 
 def int8_enabled() -> bool:

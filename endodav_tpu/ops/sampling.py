@@ -19,6 +19,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+from endodav_tpu.utils.envflags import env_on
 
 __all__ = [
     "grid_sample",
@@ -44,7 +45,7 @@ def _use_mm_kernel(h: int, w: int, c: int) -> bool:
     at ~7 ns/index and its scatter is worse (see the performance note
     below); the matmul formulation moves both onto the MXU.
     ENDODAV_NO_WARP_MM=1 forces the XLA gather/scatter paths."""
-    if os.environ.get("ENDODAV_NO_WARP_MM"):
+    if env_on("ENDODAV_NO_WARP_MM"):
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -42,6 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from endodav_tpu.utils.envflags import env_on
 
 __all__ = ["build_tp_mesh", "tp_prepare_params", "tp_param_specs",
            "tp_window_forward"]
@@ -150,7 +151,7 @@ def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
 
     # split compilation needs the model's encode/decode methods (EndoDAV);
     # single-frame EndoDAC compiles whole-model regardless of the flag
-    if (not os.environ.get("ENDODAV_SPLIT_COMPILE")
+    if (not env_on("ENDODAV_SPLIT_COMPILE")
             or not hasattr(model_local, "encode")):
         @jax.jit
         def fwd(win):

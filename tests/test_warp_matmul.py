@@ -228,7 +228,15 @@ def test_grid_sample_mm_band_edges(c, h):
     packed, _, _ = wm._pack_coords(fx, fy, h, w, False, wm._pick_pb(c))
     band, _, ok = wm._band_plan(packed, h, wm._pick_pb(c))
     assert int(jnp.max(band)) <= h - wm._BAND  # clamp held
-    assert float(jnp.mean(ok.astype(jnp.float32))) > 0.9  # banded route taken
+    # the kernels assert this via pl.multiple_of: every start (including
+    # the h % 8 != 0 clamp) must be 8-aligned or Mosaic loads garbage
+    assert not np.any(np.asarray(band) % 8)
+    if h % 8 == 0:
+        assert float(jnp.mean(ok.astype(jnp.float32))) > 0.9  # banded route
+    else:
+        # bottom rows past the aligned clamp can't fit the band window;
+        # those chunks must take the exact full-height fallback
+        assert float(jnp.mean(ok.astype(jnp.float32))) < 0.5
 
     def to_grid(fx, fy):
         gx = fx / (w - 1) * 2.0 - 1.0
