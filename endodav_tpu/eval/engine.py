@@ -217,27 +217,16 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
 
     if model_type == "endodav":
         if env_on("ENDODAV_SPLIT_COMPILE"):
-            import functools
+            from endodav_tpu.eval.video_inference import split_compiled_forward
 
             trunk = jax.jit(
                 lambda win: model.apply(variables, win, method="encode"))
-            head_by_t: dict = {}
 
-            def fwd(win):  # [C, T, h, w, 3] -> [C*T, h', w', 1]
-                t = win.shape[1]
-                hf = head_by_t.get(t)
-                if hf is None:
-                    hf = jax.jit(functools.partial(
-                        lambda taps, frames: model.apply(
-                            variables, taps, frames, method="decode")[("disp", 0)],
-                        frames=t))
-                    head_by_t[t] = hf
-                return hf(trunk(win))
+            def make_head(t):  # taps -> [C*T, h', w', 1]
+                return jax.jit(lambda taps: model.apply(
+                    variables, taps, t, method="decode")[("disp", 0)])
 
-            # tells infer_video_depth NOT to wrap this in one outer jit
-            # (which would fuse trunk+head back into a single compile)
-            fwd.precompiled = True
-            return fwd
+            return split_compiled_forward(trunk, make_head)
 
         @jax.jit
         def fwd(win):  # [C, T, h, w, 3] -> [C*T, h', w', 1]

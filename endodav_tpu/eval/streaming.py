@@ -116,6 +116,15 @@ class DepthStreamer:
     def _fire_window(self, n_clamp: int) -> list[np.ndarray]:
         idx = self._window_idx(n_clamp)
         win_u8 = np.stack([self._frames[i] for i in idx], axis=0)
+        if win_u8.dtype != np.uint8:
+            # float frames: mirror the offline [0,255]-range heuristic
+            # (video_inference.py:300 `frames.max() > 1.5`) — offline
+            # decides on the whole video, online on the window stack
+            # (the same answer for any real footage; an all-black first
+            # window of a 0-255 float stream is the only divergence)
+            win_u8 = win_u8.astype(np.float32)
+            if float(win_u8.max()) > 1.5:
+                win_u8 = win_u8 / 255.0
         win = self._pre(jnp.asarray(win_u8))[None]          # [1, T, th, tw, 3]
         out = np.asarray(self._run(win), dtype=np.float32)  # [T, fh, fw]
 

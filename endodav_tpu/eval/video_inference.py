@@ -37,7 +37,38 @@ from endodav_tpu.eval.metrics import compute_scale_and_shift, interpolate_frames
 from endodav_tpu.models.endodav import INFER_LEN, INTERP_LEN, KEYFRAMES, OVERLAP
 from endodav_tpu.ops.resize import resize2d
 
-__all__ = ["window_indices", "keep_aspect_size", "infer_video_depth", "infer_video_depth_single_frame"]
+__all__ = ["window_indices", "keep_aspect_size", "infer_video_depth",
+           "infer_video_depth_single_frame", "split_compiled_forward"]
+
+
+def split_compiled_forward(trunk, make_head):
+    """Compose a separately-jitted trunk with per-frame-count head jits.
+
+    The split-compile serving strategy (ENDODAV_SPLIT_COMPILE=1, and the
+    tensor-parallel trunk): the whole-model vitl lowering exceeds this
+    environment's remote-compile limits, so the ViT trunk and the DPT
+    head compile as two jits composed eagerly.  This helper owns the
+    shared mechanics — the head cache keyed on the window's frame count
+    (the decode's static arg) and the ``precompiled`` marker that tells
+    `infer_video_depth` / `infer_video_depth_single_frame` NOT to wrap
+    the result in one outer jit (which would fuse the pieces back into a
+    single whole-model compile).
+
+    trunk: jitted [C, T, h, w, 3] -> taps.
+    make_head(t): build the jitted head for frame count t.
+    """
+    head_by_t: dict = {}
+
+    def fwd(win):
+        t = win.shape[1]
+        hf = head_by_t.get(t)
+        if hf is None:
+            hf = make_head(t)
+            head_by_t[t] = hf
+        return hf(trunk(win))
+
+    fwd.precompiled = True
+    return fwd
 
 # Stitch kernels capture no model state — keyed on shapes alone.
 _STITCH_FN_CACHE: dict = {}
@@ -357,12 +388,26 @@ def infer_video_depth_single_frame(
     key = (batch_size, fh, fw, np.dtype(transfer_dtype).name)
     run = cache.get(key)
     if run is None:
+        if getattr(forward_batch, "precompiled", False):
+            # split-compiled / mesh-jitted forward (same contract as the
+            # window path above): an outer jit would re-fuse it into one
+            # whole-model compile per source resolution, so only the
+            # upsample+cast postprocess gets its own small jit.
+            @jax.jit
+            def _post(disp):
+                disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+                return disp[..., 0].astype(transfer_dtype)
 
-        @jax.jit
-        def run(batch):
-            disp = forward_batch(batch)  # [B, h', w', 1]
-            disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
-            return disp[..., 0].astype(transfer_dtype)
+            def run(batch):
+                return _post(forward_batch(batch))
+
+        else:
+
+            @jax.jit
+            def run(batch):
+                disp = forward_batch(batch)  # [B, h', w', 1]
+                disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+                return disp[..., 0].astype(transfer_dtype)
 
         cache[key] = run
 

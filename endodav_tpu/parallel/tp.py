@@ -42,6 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from endodav_tpu.eval.video_inference import split_compiled_forward
 from endodav_tpu.utils.envflags import env_on
 
 __all__ = ["build_tp_mesh", "tp_prepare_params", "tp_param_specs",
@@ -179,20 +180,14 @@ def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
     head_sharded = jax.device_put(
         head_vars, jax.tree.map(lambda s: NamedSharding(mesh, s), head_specs,
                                 is_leaf=lambda x: isinstance(x, P)))
-    head_by_t: dict = {}
 
-    def fwd(win):
-        t = win.shape[1]
-        hf = head_by_t.get(t)
-        if hf is None:
-            def head_fn(v, taps, frames=t):
-                return model_local.apply(v, taps, frames,
-                                         method="decode")[("disp", 0)]
+    def make_head(t):
+        def head_fn(v, taps, frames=t):
+            return model_local.apply(v, taps, frames,
+                                     method="decode")[("disp", 0)]
 
-            hf = jax.jit(lambda taps: jax.shard_map(
-                head_fn, mesh=mesh, in_specs=(head_specs, P()),
-                out_specs=P(), check_vma=False)(head_sharded, taps))
-            head_by_t[t] = hf
-        return hf(trunk(win))
+        return jax.jit(lambda taps: jax.shard_map(
+            head_fn, mesh=mesh, in_specs=(head_specs, P()),
+            out_specs=P(), check_vma=False)(head_sharded, taps))
 
-    return fwd
+    return split_compiled_forward(trunk, make_head)

@@ -57,6 +57,22 @@ def test_streaming_matches_offline(n):
     assert max_buf <= 64  # constant-memory: < 2*INFER_LEN source frames held
 
 
+def test_streaming_float_255_frames_match_offline():
+    """Float frames in [0, 255] (cv2-decode-then-cast pattern) must hit
+    the same /255 normalization the offline path applies via its
+    max() > 1.5 heuristic (video_inference.py:300)."""
+    frames = _frames(40).astype(np.float32)
+    ref = infer_video_depth(
+        _fake_forward, frames, image_shape=IMAGE_SHAPE, chunk_windows=2, stitch="host"
+    )
+    streamer = DepthStreamer(_fake_forward, image_shape=IMAGE_SHAPE)
+    out = []
+    for f in frames:
+        out.extend(streamer.push(f))
+    out.extend(streamer.flush())
+    np.testing.assert_allclose(np.stack(out, axis=0), ref, atol=1e-4, rtol=1e-4)
+
+
 def test_streaming_finality_cadence():
     """Window k finalizes step frames the moment source frame
     step*k + INFER_LEN - 1 arrives; nothing already emitted changes."""

@@ -194,6 +194,34 @@ def test_two_models_do_not_collide_in_cache():
     np.testing.assert_allclose(out2, 0.75, atol=1e-6)
 
 
+def test_single_frame_respects_precompiled_forward():
+    """A forward marked `precompiled` (split-compiled / mesh-jitted by
+    the engine) must run EAGERLY per batch — wrapping it in an outer jit
+    would re-fuse the separately-compiled pieces into one whole-model
+    compile (the >40-min vitl case the marker exists to avoid)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from endodav_tpu.eval.video_inference import infer_video_depth_single_frame
+
+    calls = []
+
+    @jax.jit
+    def _inner(batch):
+        return jnp.mean(batch, axis=-1, keepdims=True)[:, :8, :10, :]
+
+    def fwd(batch):
+        calls.append(1)  # python side effect: runs once PER BATCH if eager
+        return _inner(batch)
+
+    fwd.precompiled = True
+    frames = np.random.default_rng(0).uniform(0, 1, (8, 16, 20, 3)).astype(np.float32)
+    out = infer_video_depth_single_frame(fwd, frames, batch_size=2)
+    assert out.shape == (8, 16, 20)
+    assert len(calls) == 4  # 8 frames / batch 2 — an outer jit would give 1
+
+
 def test_variables_threading_no_retrace_across_weight_updates():
     """The epoch-eval path: ONE stable forward + per-call `variables`
     must (a) trace the chunk pipeline exactly once across weight
