@@ -12,6 +12,10 @@ Run: python tools/bench_fused_e2e.py [--config 518|224] [--iters 6]
 
 from __future__ import annotations
 
+# run as `python tools/<name>.py` from anywhere: put the repo root on sys.path
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import statistics
 import time

@@ -1,4 +1,8 @@
 #!/usr/bin/env python
+# run as `python tools/<name>.py` from anywhere: put the repo root on sys.path
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 """Data sanity statistics for SCARED (tools/loop_scared.py parity):
 per-sequence depth mean/std/min/max and frame counts."""
 
