@@ -213,6 +213,8 @@ class ScaredVideos:
             depths = np.stack([readers.read_scared_depth(p) for p in depth_paths], axis=0)
             pred_dir = os.path.join(self.pred_root, filename, "depth")
             pred_paths = sorted(glob.glob(os.path.join(pred_dir, "*.npy")))
+            if not pred_paths:
+                raise FileNotFoundError(f"no prediction .npy files under {pred_dir}")
             preds = np.stack([np.load(p).astype(np.float32) for p in pred_paths], axis=0)
             return {"depths": depths, "pred_depths": preds, "filename": filename}
         colors, depths, poses = readers.read_sequence(self.data_path, filename)

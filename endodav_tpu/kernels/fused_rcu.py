@@ -71,7 +71,7 @@ def rcu_reference(x, w1, b1, w2, b2, skip=None):
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, bh, w, c, h):
-    xb = x_ref[0]                       # [bh+4, W+4, C], halo 2 each side
+    xb = x_ref[...]                     # [bh+4, W+4, C], halo 2 each side
     a = jnp.maximum(xb, 0)
 
     def im2col(src, rows, cols):
@@ -130,7 +130,12 @@ def _fused_rcu_impl(x, w1, b1, w2, b2, *, block_rows, interpret):
         functools.partial(_kernel, bh=bh, w=w, c=c, h=h),
         grid=(b, hp // bh),
         in_specs=[
-            pl.BlockSpec((1, pl.Element(bh + 4), w + 4, c),
+            # Mosaic requires every dim of an elementwise-indexed block to
+            # be Element (or Squeezed) — mixing Element with Blocked dims
+            # fails lowering ("All block dimensions must be Elements...").
+            # Squeeze the frame dim; give the rest element start offsets.
+            pl.BlockSpec((None, pl.Element(bh + 4), pl.Element(w + 4),
+                          pl.Element(c)),
                          lambda i, j: (i, j * bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * c, c), lambda i, j: (0, 0),

@@ -12,6 +12,7 @@ while true; do
       >> "$OUT/probe.log" 2>&1; then
     echo "tunnel UP: $(date)" >> "$OUT/probe.log"
     bash tools/tpu_session_r3.sh >> "$OUT/agenda.log" 2>&1
+    bash tools/tpu_session_r3b.sh >> "$OUT/agenda.log" 2>&1
     echo "agenda pass done: $(date)" >> "$OUT/probe.log"
     exit 0
   fi

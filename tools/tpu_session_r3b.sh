@@ -43,6 +43,11 @@ run_combo() {
 }
 stage combo run_combo
 
+# the main agenda's vitl int8 leg died with the tunnel (non-fatal there,
+# so int8model is .done and will not retry it) — retry it here
+stage int8vitl python -u tools/bench_int8_serving.py --config 518 \
+    --encoder vitl --iters 4
+
 echo "== all stages attempted; logs in $OUT"
 mkdir -p bench_logs_r3
 cp "$OUT"/*.log bench_logs_r3/ 2>/dev/null || true
