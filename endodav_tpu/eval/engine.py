@@ -184,7 +184,7 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
     env_flags = [n for n in ("ENDODAV_NO_FLASH", "ENDODAV_NO_FUSED",
                              "ENDODAV_NO_WARP_MM", "ENDODAV_INT8",
                              "ENDODAV_FUSED_RCU", "ENDODAV_SPLIT_COMPILE",
-                             "ENDODAV_HIRES_OUTCONV")
+                             "ENDODAV_LOWRES_OUTCONV")
                  if os.environ.get(n)]
     print(f"[serve] forward: model_type={model_type}"
           + (f" serve_mesh={spec}" if spec else "")

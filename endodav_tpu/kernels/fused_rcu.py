@@ -7,11 +7,14 @@ contraction — half the MXU's K lanes idle — and XLA materializes the
 inter-conv intermediate to HBM (~1.8 GB per 518px chunk at path_2
 scale).  This kernel attacks both at once:
 
-  * **in-VMEM im2col**: the nine 3x3 taps are concatenated into one
-    [M, 9C] panel and each conv becomes a single [M, 9C] x [9C, C]
-    matmul — K=576 fills the MXU contraction lanes (the round-2 XLA
+  * **in-VMEM taps**: each conv is nine accumulating [M, C] x [C, C]
+    tap matmuls on VMEM-resident shifted slices (the round-2 XLA
     im2col experiments lost because their patch panels round-tripped
-    HBM; here the panel never leaves VMEM);
+    HBM; here nothing leaves VMEM).  The single concatenated [M, 9C]
+    panel (K=576 fills the MXU contraction lanes) does NOT lower:
+    Mosaic's tpu.concatenate rejects operands with mismatched sublane
+    offsets on a non-concat dim — see the in-kernel comment for the
+    full list of lowering constraints this body works around;
   * **relu -> conv -> relu -> conv -> +skip fused** in one residency:
     the intermediate never touches HBM.
 
@@ -70,50 +73,79 @@ def rcu_reference(x, w1, b1, w2, b2, skip=None):
     return y + (x if skip is None else skip)
 
 
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, bh, w, c, h):
     xb = x_ref[...]                     # [bh+4, W+4, C], halo 2 each side
     a = jnp.maximum(xb, 0)
 
-    def im2col(src, rows, cols):
-        panels = [src[dy:dy + rows, dx:dx + cols, :].reshape(rows * cols, c)
-                  for dy in range(3) for dx in range(3)]
-        return jnp.concatenate(panels, axis=1)    # [rows*cols, 9C]
+    # Mosaic lowering constraints shape this body (each found by a
+    # device compile probe):
+    #   * folding leading dims into the sublane axis (3D->2D reshape)
+    #     only lowers when the folded sublane dim is tile-aligned, so
+    #     every fold pads cols to the 16-row tile (covers bf16 (16,128)
+    #     and f32 (8,128));
+    #   * tpu.concatenate rejects operands whose layout offsets differ
+    #     on a non-concat dim, which kills the single [M, 9C] im2col
+    #     panel (the nine 3x3-tap slices carry sublane offsets 0/1/2);
+    #     instead each tap folds alone and the conv is nine accumulating
+    #     [M, C] x [C, C] matmuls — the zero-pad concat rides the
+    #     offset-bearing dim itself, normalizing the layout before the
+    #     fold.  cpad > cols always (round_up(cols+1)) so the concat is
+    #     never skipped.
+    def conv3x3(src, rows, cols, cpad, w_ref):
+        acc = jnp.zeros((rows * cpad, c), jnp.float32)
+        for k in range(9):
+            dy, dx = divmod(k, 3)
+            sl = src[dy:dy + rows, dx:dx + cols, :]
+            zeros = jnp.zeros((rows, cpad - cols, c), sl.dtype)
+            panel = jnp.concatenate([sl, zeros], axis=1).reshape(rows * cpad, c)
+            acc += jnp.dot(panel, w_ref[k * c:(k + 1) * c, :],
+                           preferred_element_type=jnp.float32)
+        return acc
 
     # conv1 on the bh+2 x W+2 interior (still carrying halo 1 for conv2)
-    col1 = im2col(a, bh + 2, w + 2)
-    acc1 = jnp.dot(col1, w1_ref[:], preferred_element_type=jnp.float32)
+    w1p = _round_up(w + 3, 16)
+    acc1 = conv3x3(a, bh + 2, w + 2, w1p, w1_ref)
     t1 = jnp.maximum(acc1 + b1_ref[:].astype(jnp.float32), 0)
-    t1 = t1.reshape(bh + 2, w + 2, c)
+    t1 = t1.reshape(bh + 2, w1p, c)[:, :w + 2, :]
     # conv2's SAME padding zero-pads the INTERMEDIATE at image borders;
     # recomputing t1 from zero-padded x yields relu(b1) there instead of
     # 0 — mask the out-of-image halo rows/cols (band rows are absolute
     # r0 + j - 1; r0 = band index * bh)
+    # 3D iotas from the start: inserting a minor dim on a non-32-bit
+    # vector (bool mask[:, :, None]) fails Mosaic lowering.
     r0 = pl.program_id(1) * bh
-    row_abs = r0 + jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w + 2), 0) - 1
-    col_abs = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w + 2), 1) - 1
+    row_abs = r0 + jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w + 2, 1), 0) - 1
+    col_abs = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, w + 2, 1), 1) - 1
     valid = ((row_abs >= 0) & (row_abs < h) & (col_abs >= 0) & (col_abs < w))
-    t1 = jnp.where(valid[:, :, None], t1, 0).astype(xb.dtype)
+    t1 = jnp.where(valid, t1, 0).astype(xb.dtype)
 
-    col2 = im2col(t1, bh, w)
-    acc2 = jnp.dot(col2, w2_ref[:], preferred_element_type=jnp.float32)
+    w2p = _round_up(w + 1, 16)
+    acc2 = conv3x3(t1, bh, w, w2p, w2_ref)
     y = (acc2 + b2_ref[:].astype(jnp.float32)).astype(xb.dtype)
-    o_ref[0] = y.reshape(bh, w, c) + xb[2:2 + bh, 2:2 + w, :]
+    y = y.reshape(bh, w2p, c)[:, :w, :]
+    o_ref[0] = y + xb[2:2 + bh, 2:2 + w, :]
 
 
 def _fused_rcu_impl(x, w1, b1, w2, b2, *, block_rows, interpret):
     b, h, w, c = x.shape
     bh = min(block_rows, h)
-    # shrink the band until the VMEM working set fits: the two im2col
-    # panels dominate ((bh+2)*(W+2)*9C + bh*W*9C elements); at the 518px
-    # path_1 width (W=736, C=64) bh=8 would need ~17 MB
+    # shrink the band until the VMEM working set fits.  With per-tap
+    # matmuls the peak residency is: input band xb, one padded tap
+    # panel, the two f32 accumulators, and the masked t1 copy (f32
+    # pre-relu + element-dtype post-cast); cpad <= cols + 17.
     bytes_el = 2 if x.dtype == jnp.bfloat16 else 4
 
     def band_bytes(rows):
-        col1 = (rows + 2) * (w + 2) * 9 * c * bytes_el
-        col2 = rows * w * 9 * c * bytes_el
+        wp = w + 20                              # cpad upper bound (+halo)
+        panel = (rows + 2) * wp * c * bytes_el   # one tap panel at a time
+        accs = (rows + 2) * wp * c * 4 * 2       # f32 acc1 + acc2
+        t1b = (rows + 2) * wp * c * (4 + bytes_el)
         xb = (rows + 4) * (w + 4) * c * bytes_el
-        acc = (rows + 2) * (w + 2) * c * 4 * 2  # f32 acc1 + masked t1
-        return col1 + col2 + xb + acc
+        return panel + accs + t1b + xb
 
     while bh > 1 and band_bytes(bh) > 10 * 2 ** 20:
         bh = max(1, bh // 2)

@@ -119,11 +119,15 @@ class FeatureFusionBlock(nn.Module):
     The reference applies the 1x1 ``out_conv`` AFTER the bilinear upsample
     (util/blocks.py:94-162).  A 1x1 conv acts on channels only and the
     separable bilinear resize acts on space only, so the two commute
-    exactly (tensor product of linear maps); running ``out_conv`` at the
-    LOW resolution does ~4x less conv work and saves two high-resolution
-    HBM passes per fusion block on the serving path.  Weights/params are
-    identical either way.  ``ENDODAV_HIRES_OUTCONV=1`` restores the
-    reference operation order (bit-level parity debugging).
+    exactly (tensor product of linear maps) and running ``out_conv`` at
+    the LOW resolution does ~4x less conv work — but the device A/B
+    (tools/tpu_session_r3.sh stage `outconv`, whole-model 6-iter medians)
+    measured the reference order FASTER at every leg: 518px 271.2 vs
+    280.8 ms, 224x280 119.8 vs 125.6 ms (fused temporal; unfused legs
+    agree) — XLA fuses the 1x1 into the high-res resize einsum's output,
+    while the commuted order forces an extra low-res layout pass.  The
+    reference order is therefore the default; ``ENDODAV_LOWRES_OUTCONV=1``
+    selects the commuted order (weights/params identical either way).
     """
 
     features: int
@@ -138,11 +142,11 @@ class FeatureFusionBlock(nn.Module):
         if size is None:
             size = (x.shape[1] * 2, x.shape[2] * 2)
         out_conv = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")
-        if env_on("ENDODAV_HIRES_OUTCONV"):
-            x = resize2d(x, size, "bilinear", align_corners=True)
-            return out_conv(x)
-        x = out_conv(x)
-        return resize2d(x, size, "bilinear", align_corners=True)
+        if env_on("ENDODAV_LOWRES_OUTCONV"):
+            x = out_conv(x)
+            return resize2d(x, size, "bilinear", align_corners=True)
+        x = resize2d(x, size, "bilinear", align_corners=True)
+        return out_conv(x)
 
 
 class HeadDepth(nn.Module):

@@ -246,9 +246,9 @@ def test_ffb_outconv_commutes_with_resize(monkeypatch):
     blk = FeatureFusionBlock(features=16)
     params = blk.init(jax.random.PRNGKey(0), x, skip, (18, 22))
 
-    monkeypatch.delenv("ENDODAV_HIRES_OUTCONV", raising=False)
+    monkeypatch.setenv("ENDODAV_LOWRES_OUTCONV", "1")
     lowres = blk.apply(params, x, skip, (18, 22))
-    monkeypatch.setenv("ENDODAV_HIRES_OUTCONV", "1")
+    monkeypatch.delenv("ENDODAV_LOWRES_OUTCONV", raising=False)
     hires = blk.apply(params, x, skip, (18, 22))
     assert lowres.shape == hires.shape == (2, 18, 22, 16)
     np.testing.assert_allclose(np.asarray(lowres), np.asarray(hires),
