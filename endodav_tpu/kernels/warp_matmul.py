@@ -40,7 +40,7 @@ ever contributed exact zeros):
     restated in-kernel via `pl.multiple_of` — Mosaic cannot prove a
     scalar-prefetched start is 8-aligned and rejects the vector.load
     otherwise (round-3 device failure);
-  * lane windows (`ENDODAV_WARP_TILE=1`): pixels are re-ordered into
+  * lane windows (default; `ENDODAV_WARP_NOTILE=1` disables): pixels are re-ordered into
     th x tw spatial tiles per chunk (pure reshape/transpose on the XLA
     side) so the chunk's x-footprint is tile-sized too, and a
     128-aligned 128-pixel lane window cuts the stage-2 VPU masking
@@ -194,9 +194,18 @@ def _banding_enabled(h: int) -> bool:
 
 
 def _tiling_enabled() -> bool:
-    """Spatial-tile pixel ordering + lane windows (ENDODAV_WARP_TILE=1;
-    off by default until device-measured)."""
-    return env_on("ENDODAV_WARP_TILE")
+    """Spatial-tile pixel ordering + lane windows — ON by default
+    (ENDODAV_WARP_NOTILE=1 restores plain row bands).
+
+    Device-measured (tools/bench_warp_windows.py, whole train step):
+    tile 803 ms/step vs band 918 vs full 1243.  Exactness: forward
+    grid_sample/splat and the grid_sample backward probe bit-identical
+    to the full path on device at every train shape (256x320..128x160,
+    C=1/3); the few-1e-4 whole-step loss drift the A/B harness flags
+    under tile is downstream bf16 graph reassociation (the tile
+    transposes change XLA's fusion/reduction order), not a window-plan
+    defect."""
+    return not env_on("ENDODAV_WARP_NOTILE") and not env_on("ENDODAV_WARP_NOBAND")
 
 
 def _lane_window(C: int) -> int:

@@ -270,12 +270,12 @@ def test_splat_mm_band_bottom_clamp():
 @pytest.mark.parametrize("c", [1, 3])
 @pytest.mark.parametrize("local", [True, False])
 def test_grid_sample_mm_tiled_lane_windows(monkeypatch, c, local):
-    """ENDODAV_WARP_TILE=1: tile-ordered chunks + 128-px lane windows.
+    """Tile mode (default): tile-ordered chunks + 128-px lane windows.
     Local flows take the windowed route (asserted via the plan); scattered
     coords fall back — both must match the gather oracle, fwd + grads."""
     from endodav_tpu.kernels import warp_matmul as wm
 
-    monkeypatch.setenv("ENDODAV_WARP_TILE", "1")
+    monkeypatch.delenv("ENDODAV_WARP_NOTILE", raising=False)  # tile is the default
     b, h, w = 1, 96, 160  # divisible by every tile shape; w*c > lane window
     img = jnp.asarray(RNG.standard_normal((b, h, w, c)).astype(np.float32))
     yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
@@ -332,7 +332,7 @@ def test_grid_sample_mm_tiled_lane_windows(monkeypatch, c, local):
 def test_splat_mm_tiled_matches_scatter(monkeypatch):
     from endodav_tpu.kernels.warp_matmul import splat_mm
 
-    monkeypatch.setenv("ENDODAV_WARP_TILE", "1")
+    monkeypatch.delenv("ENDODAV_WARP_NOTILE", raising=False)  # tile is the default
     b, h, w = 1, 96, 160
     yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
                          np.arange(w, dtype=np.float32), indexing="ij")
