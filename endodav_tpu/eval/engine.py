@@ -184,7 +184,7 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
     env_flags = [n for n in ("ENDODAV_NO_FLASH", "ENDODAV_NO_FUSED",
                              "ENDODAV_NO_WARP_MM", "ENDODAV_INT8",
                              "ENDODAV_FUSED_RCU", "ENDODAV_SPLIT_COMPILE",
-                             "ENDODAV_LOWRES_OUTCONV")
+                             "ENDODAV_SCAN_TRUNK", "ENDODAV_LOWRES_OUTCONV")
                  if os.environ.get(n)]
     print(f"[serve] forward: model_type={model_type}"
           + (f" serve_mesh={spec}" if spec else "")
@@ -216,11 +216,28 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
         return fwd
 
     if model_type == "endodav":
-        if env_on("ENDODAV_SPLIT_COMPILE"):
+        if env_on("ENDODAV_SPLIT_COMPILE") or env_on("ENDODAV_SCAN_TRUNK"):
             from endodav_tpu.eval.video_inference import split_compiled_forward
 
-            trunk = jax.jit(
-                lambda win: model.apply(variables, win, method="encode"))
+            if env_on("ENDODAV_SCAN_TRUNK"):
+                # scan-over-layers trunk: one compiled ViTBlock body per
+                # segment instead of `depth` inlined copies — the vitl
+                # unrolled-trunk lowering exceeds the remote-compile
+                # limits even split (PERFORMANCE.md "vitl").
+                from endodav_tpu.models.endodav import ENDODAV_CONFIGS, build_trunk
+                from endodav_tpu.models.vit import scan_trunk_apply
+
+                vit = build_trunk(model)
+                p_vit = variables["params"]["pretrained"]
+                take = ENDODAV_CONFIGS[model.encoder]["intermediate"]
+
+                @jax.jit
+                def trunk(win):
+                    x = model.preprocess(win)
+                    return scan_trunk_apply(vit, p_vit, x, take)
+            else:
+                trunk = jax.jit(
+                    lambda win: model.apply(variables, win, method="encode"))
 
             def make_head(t):  # taps -> [C*T, h', w', 1]
                 return jax.jit(lambda taps: model.apply(

@@ -59,6 +59,9 @@ class EndoDAC(nn.Module):
     # tensor parallelism for the ViT trunk (parallel/tp.py; same
     # 'pretrained' param subtree as EndoDAV, so the same sharding applies)
     tp_groups: int = 1
+    # scan-over-layers trunk (models/vit.py:DinoViT.scan_blocks) — same
+    # function/params, one compiled block body per uniform segment
+    scan_trunk: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -81,6 +84,7 @@ class EndoDAC(nn.Module):
             lora_rank=self.r,
             lora_alpha=_endodac_lora_alpha(self.lora_type, self.r),
             tp_groups=self.tp_groups,
+            scan_blocks=self.scan_trunk,
             dtype=self.dtype,
             name="pretrained",
         )(x, cfg["intermediate"], dash_phase2)

@@ -45,6 +45,26 @@ def _endodav_lora_alpha(lora_type: str, r: int) -> float | None:
     return {"lora": 2.0 * r, "dvlora": float(r), "dash": 2.0 * r}.get(lora_type)
 
 
+def build_trunk(model: "EndoDAV") -> DinoViT:
+    """The model's DINOv2 trunk as a standalone (unbound) module — the
+    exact configuration `setup` binds as ``self.pretrained``, so its param
+    tree matches ``variables["params"]["pretrained"]``.  Used by the
+    scan-over-layers serving trunk (models/vit.py:scan_trunk_apply) which
+    applies block params functionally outside the bound model."""
+    vit_cfg = VIT_CONFIGS[model.encoder]
+    return DinoViT(
+        **vit_cfg,
+        residual_block_indexes=tuple(model.residual_block_indexes),
+        include_cls_token=model.include_cls_token,
+        lora_variant=model.lora_type,
+        lora_rank=model.r,
+        lora_alpha=_endodav_lora_alpha(model.lora_type, model.r),
+        tp_groups=model.tp_groups,
+        scan_blocks=model.scan_trunk,
+        dtype=model.dtype,
+    )
+
+
 class EndoDAV(nn.Module):
     encoder: str = "vits"  # vits | vitl
     r: int = 4
@@ -64,6 +84,11 @@ class EndoDAV(nn.Module):
     # LOCAL view (run under shard_map with trunk params sharded over the
     # 'model' mesh axis; decoder stays replicated)
     tp_groups: int = 1
+    # scan-over-layers trunk (models/vit.py:DinoViT.scan_blocks): same
+    # function, param tree, and checkpoints; the lowering holds one block
+    # body per segment instead of `depth` copies — compile-size fix for
+    # vitl and for the train step's whole-graph jit.
+    scan_trunk: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -76,16 +101,7 @@ class EndoDAV(nn.Module):
         cfg = ENDODAV_CONFIGS[self.encoder]
         vit_cfg = VIT_CONFIGS[self.encoder]
         alpha = _endodav_lora_alpha(self.lora_type, self.r)
-        self.pretrained = DinoViT(
-            **vit_cfg,
-            residual_block_indexes=tuple(self.residual_block_indexes),
-            include_cls_token=self.include_cls_token,
-            lora_variant=self.lora_type,
-            lora_rank=self.r,
-            lora_alpha=alpha,
-            tp_groups=self.tp_groups,
-            dtype=self.dtype,
-        )
+        self.pretrained = build_trunk(self)
         self.head = DPTDecoder(
             in_channels=vit_cfg["embed_dim"],
             features=cfg["features"],
@@ -104,15 +120,22 @@ class EndoDAV(nn.Module):
             dtype=self.dtype,
         )
 
-    def encode(self, video, train: bool = False, dash_phase2: bool = False):
-        """[B, T, H, W, 3] -> ViT taps at the encoder's intermediate
-        layers (resize + ImageNet normalize + trunk; endodav.py:150-156)."""
+    def preprocess(self, video):
+        """[B, T, H, W, 3] -> [B*T, h, w, 3] trunk input (bilinear
+        align_corners resize + ImageNet normalize; endodav.py:150-156).
+        Uses no flax state, so it is callable on an UNBOUND model — the
+        scan-trunk serving path shares it (eval/engine.py)."""
         b, t = video.shape[0], video.shape[1]
         x = video.reshape(b * t, *video.shape[2:])
         x = resize2d(x, self.image_shape, "bilinear", align_corners=True)
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(IMAGENET_STD, x.dtype)
-        x = (x - mean) / std
+        return (x - mean) / std
+
+    def encode(self, video, train: bool = False, dash_phase2: bool = False):
+        """[B, T, H, W, 3] -> ViT taps at the encoder's intermediate
+        layers (resize + ImageNet normalize + trunk; endodav.py:150-156)."""
+        x = self.preprocess(video)
         cfg = ENDODAV_CONFIGS[self.encoder]
         return self.pretrained(x, cfg["intermediate"], dash_phase2)
 

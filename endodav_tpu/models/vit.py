@@ -33,7 +33,7 @@ from endodav_tpu.ops.attention import fused_qkv_attention
 from endodav_tpu.ops.quant import int8_dense, int8_enabled
 from endodav_tpu.ops.resize import resize2d
 
-__all__ = ["DinoViT", "VIT_CONFIGS"]
+__all__ = ["DinoViT", "VIT_CONFIGS", "scan_trunk_apply"]
 
 VIT_CONFIGS = {
     "vits": dict(embed_dim=384, depth=12, num_heads=6),
@@ -296,6 +296,14 @@ class DinoViT(nn.Module):
     # MLP hidden split over the 'model' mesh axis; run under shard_map
     # with params sharded by parallel/tp.py)
     tp_groups: int = 1
+    # scan-over-layers: run uniform block runs as one lax.scan over
+    # stacked per-block params — the lowered HLO holds ONE block body per
+    # segment instead of `depth` inlined copies (the vitl trunk lowering
+    # exceeds remote-compile limits unrolled; PERFORMANCE.md "vitl").
+    # Param tree, init, and checkpoints are IDENTICAL to the unrolled
+    # form: the stacking happens at apply time from self.variables, so
+    # gradients flow back to the per-layer params through the stack.
+    scan_blocks: bool = False
     dtype: Any = jnp.float32
 
     def interpolated_pos_embed(self, pos_embed, ph: int, pw: int):
@@ -341,19 +349,27 @@ class DinoViT(nn.Module):
 
         final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
         take = set(int(i) for i in take_indices)
-        outputs = []
-        for i in range(self.depth):
-            x = ViTBlock(
-                self.embed_dim, self.num_heads, (ph, pw),
-                use_residual_block=i in self.residual_block_indexes,
-                include_cls_token=self.include_cls_token,
-                lora_variant=self.lora_variant, lora_rank=self.lora_rank,
-                lora_alpha=self.lora_alpha, ffn_layer=self.ffn_layer,
-                tp_groups=self.tp_groups,
-                dtype=self.dtype, name=f"blocks_{i}",
-            )(x, dash_phase2)
-            if i in take:
-                outputs.append(x)
+        if self.scan_blocks and not self.is_initializing():
+            # apply-time scan over this module's own per-block params
+            # (self.variables); init/checkpoints stay per-layer.
+            taps = _run_block_plan(
+                self, self.variables["params"], x, take_indices, (ph, pw),
+                dash_phase2)
+            outputs = [taps[i] for i in sorted(take)]
+        else:
+            outputs = []
+            for i in range(self.depth):
+                x = ViTBlock(
+                    self.embed_dim, self.num_heads, (ph, pw),
+                    use_residual_block=i in self.residual_block_indexes,
+                    include_cls_token=self.include_cls_token,
+                    lora_variant=self.lora_variant, lora_rank=self.lora_rank,
+                    lora_alpha=self.lora_alpha, ffn_layer=self.ffn_layer,
+                    tp_groups=self.tp_groups,
+                    dtype=self.dtype, name=f"blocks_{i}",
+                )(x, dash_phase2)
+                if i in take:
+                    outputs.append(x)
 
         results = []
         for out in outputs:
@@ -364,3 +380,124 @@ class DinoViT(nn.Module):
                 # "not real cls tokens" (vision_transformer.py:323)
                 results.append((out, out[:, 0]))
         return results
+
+
+def _scan_segment_plan(depth: int, take_indices, residual_block_indexes):
+    """Static execution plan for `scan_trunk_apply`.
+
+    Returns a list of steps: ``("scan", (i, ...))`` — a uniform run of
+    blocks executed as one `lax.scan` over stacked params; ``("solo", i)``
+    — a block applied individually (ResBottleneck blocks carry extra
+    params, so they can't share a scan body with plain blocks); and
+    ``("tap", i)`` — snapshot the activations AFTER block i (the
+    intermediate-layer tap the DPT head consumes).
+    """
+    take = set(int(i) for i in take_indices)
+    residual = set(int(i) for i in residual_block_indexes)
+    plan: list[tuple] = []
+    run: list[int] = []
+
+    def flush():
+        if len(run) == 1:
+            plan.append(("solo", run[0]))
+        elif run:
+            plan.append(("scan", tuple(run)))
+        run.clear()
+
+    for i in range(depth):
+        if i in residual:
+            flush()
+            plan.append(("solo", i))
+        else:
+            run.append(i)
+        if i in take:
+            flush()
+            plan.append(("tap", i))
+    flush()
+    return plan
+
+
+def _run_block_plan(vit: DinoViT, params, x, take_indices, patch_hw,
+                    dash_phase2: bool = False):
+    """Execute the trunk's block stack per `_scan_segment_plan`: uniform
+    runs as `lax.scan` over stacked per-block params, ResBottleneck
+    blocks solo.  `params` is the DinoViT param tree (per-layer
+    ``blocks_i`` subtrees); returns {tap_index: activations}.  Gradients
+    w.r.t. the per-layer params flow through the `jnp.stack`."""
+
+    def block(i: int) -> ViTBlock:
+        return ViTBlock(
+            vit.embed_dim, vit.num_heads, tuple(patch_hw),
+            use_residual_block=i in set(vit.residual_block_indexes),
+            include_cls_token=vit.include_cls_token,
+            lora_variant=vit.lora_variant, lora_rank=vit.lora_rank,
+            lora_alpha=vit.lora_alpha, ffn_layer=vit.ffn_layer,
+            tp_groups=vit.tp_groups, dtype=vit.dtype,
+        )
+
+    plan = _scan_segment_plan(vit.depth, take_indices, vit.residual_block_indexes)
+    taps: dict[int, jnp.ndarray] = {}
+    for kind, v in plan:
+        if kind == "tap":
+            taps[v] = x
+        elif kind == "solo":
+            x = block(v).apply({"params": params[f"blocks_{v}"]}, x, dash_phase2)
+        else:  # scan over a uniform run
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *(params[f"blocks_{i}"] for i in v))
+            body_mod = block(v[0])
+
+            def body(h_, p):
+                return body_mod.apply({"params": p}, h_, dash_phase2), None
+
+            x, _ = jax.lax.scan(body, x, stacked)
+    return taps
+
+
+def scan_trunk_apply(vit: DinoViT, params, images, take_indices: Sequence[int],
+                     dash_phase2: bool = False):
+    """`vit.apply({"params": params}, images, take_indices)` with uniform
+    runs of transformer blocks executed as `lax.scan` over stacked
+    per-block params.
+
+    Why: the unrolled trunk lowers `depth` inlined copies of the block
+    body — at vitl (24 blocks, LoRA'd MLPs, Pallas attention) the HLO
+    exceeds this environment's remote-compile limits (>25 min, dropped
+    connection; PERFORMANCE.md "vitl"). Scanning compiles ONE body per
+    segment, shrinking the lowering by ~the trunk depth while computing
+    the identical function (same per-block math; taps force segment
+    boundaries so intermediates are exact).
+
+    `vit` is an UNBOUND DinoViT (its dataclass config is read; no flax
+    state is used), `params` is its param tree (`blocks_i` subtrees must
+    be structurally identical within a scan segment, which holds for any
+    fixed lora variant). Stacking happens inside this function, so the
+    caller can jit it directly with the per-layer checkpoint tree.
+    The same path is available as a module flag — `DinoViT(
+    scan_blocks=True)` — which stacks from `self.variables` at apply
+    time (whole-model jits and the train step ride it there).
+    """
+    b, h, w, _ = images.shape
+    ph, pw = h // vit.patch_size, w // vit.patch_size
+
+    x = nn.Conv(
+        vit.embed_dim, (vit.patch_size, vit.patch_size),
+        strides=(vit.patch_size, vit.patch_size), dtype=vit.dtype,
+    ).apply({"params": params["patch_embed"]}, images)
+    x = x.reshape(b, ph * pw, vit.embed_dim)
+    if vit.include_cls_token:
+        cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (b, 1, vit.embed_dim))
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + vit.interpolated_pos_embed(params["pos_embed"], ph, pw).astype(x.dtype)
+
+    taps = _run_block_plan(vit, params, x, take_indices, (ph, pw), dash_phase2)
+
+    norm = nn.LayerNorm(epsilon=1e-6, dtype=vit.dtype)
+    results = []
+    for i in take_indices:
+        out = norm.apply({"params": params["norm"]}, taps[int(i)])
+        if vit.include_cls_token:
+            results.append((out[:, 1:], out[:, 0]))
+        else:
+            results.append((out, out[:, 0]))
+    return results

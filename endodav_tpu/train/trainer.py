@@ -43,6 +43,7 @@ from endodav_tpu.models.resnet import ResNetEncoder, resnet_num_ch_enc
 from endodav_tpu.train import losses as L
 from endodav_tpu.train import optim as O
 from endodav_tpu.utils import checkpoint as ckpt
+from endodav_tpu.utils.envflags import env_on
 
 __all__ = ["Trainer", "build_models", "init_variables"]
 
@@ -85,7 +86,14 @@ def build_models(opt) -> dict:
             image_shape=image_shape, residual_block_indexes=residual_idx,
             include_cls_token=opt.include_cls_token, inv_sigmoid=opt.inv_sigmoid,
             temporal_lora=opt.temporal_lora, conv_head=not opt.disable_conv_head,
-            out_sigmoid=opt.out_sigmoid, dtype=dtype,
+            out_sigmoid=opt.out_sigmoid,
+            # scan-over-layers trunk: same function/params/grads
+            # (tests/test_models.py:test_scan_trunk_module_flag_forward_and_grad),
+            # much smaller train-step lowering — vitl-depth training
+            # compiles through remote-compile limits the unrolled graph
+            # exceeds (PERFORMANCE.md "vitl").
+            scan_trunk=env_on("ENDODAV_SCAN_TRUNK"),
+            dtype=dtype,
         )
     elif opt.model_type == "afsfm":
         from endodav_tpu.models import AFSfMDepth
@@ -97,7 +105,8 @@ def build_models(opt) -> dict:
             backbone_size=size, r=opt.lora_rank, lora_type=opt.lora_type,
             image_shape=image_shape, residual_block_indexes=residual_idx,
             include_cls_token=opt.include_cls_token, pre_norm=opt.pre_norm,
-            inv_sigmoid=opt.inv_sigmoid, conv_head=not opt.disable_conv_head, dtype=dtype,
+            inv_sigmoid=opt.inv_sigmoid, conv_head=not opt.disable_conv_head,
+            scan_trunk=env_on("ENDODAV_SCAN_TRUNK"), dtype=dtype,
         )
     num_ch = resnet_num_ch_enc(opt.num_layers)
     mods = {

@@ -79,6 +79,57 @@ def test_vit_no_cls_token():
     assert tokens.shape == (1, 4, 32)
 
 
+@pytest.mark.parametrize("residual,no_cls", [((2,), False), ((), True)])
+def test_scan_trunk_apply_matches_unrolled(residual, no_cls):
+    """scan_trunk_apply (lax.scan over stacked block params — the vitl
+    compile-size fix) computes the identical function to the unrolled
+    DinoViT forward: every tap, patch tokens and cls, LoRA'd blocks,
+    ResBottleneck blocks solo, taps inside and at segment ends."""
+    from endodav_tpu.models.vit import _scan_segment_plan, scan_trunk_apply
+
+    m = DinoViT(embed_dim=64, depth=6, num_heads=4,
+                residual_block_indexes=residual,
+                include_cls_token=not no_cls,
+                lora_variant="dvlora", lora_rank=4, lora_alpha=4.0)
+    x = jnp.asarray(RNG.uniform(0, 1, (2, 56, 70, 3)).astype(np.float32))
+    take = (1, 3, 5)
+    params = m.init(jax.random.PRNGKey(0), x, take)["params"]
+    plan = _scan_segment_plan(6, take, residual)
+    assert any(k == "scan" for k, _ in plan), f"no scan segment in {plan}"
+    ref = m.apply({"params": params}, x, take)
+    got = scan_trunk_apply(m, params, x, take)
+    assert len(got) == len(ref)
+    for (rp, rc), (gp, gc) in zip(ref, got):
+        np.testing.assert_allclose(gp, rp, atol=1e-6)
+        np.testing.assert_allclose(gc, rc, atol=1e-6)
+
+
+def test_scan_trunk_module_flag_forward_and_grad():
+    """EndoDAV(scan_trunk=True) — the module-level scan_blocks path that
+    stacks from self.variables at apply time — must match the unrolled
+    model in BOTH forward and gradients (the train step rides it), with
+    the identical per-layer param tree."""
+    from endodav_tpu.models.endodav import EndoDAV
+
+    m0 = EndoDAV(image_shape=(28, 28), num_frames=32)
+    m1 = EndoDAV(image_shape=(28, 28), num_frames=32, scan_trunk=True)
+    v = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 28, 28, 3)))
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 32, 32, 32, 3)).astype(np.float32))
+
+    o0 = m0.apply(v, x)[("disp", 0)]
+    o1 = m1.apply(v, x)[("disp", 0)]
+    np.testing.assert_allclose(o1, o0, atol=1e-5)
+
+    def grads(mod):
+        return jax.grad(
+            lambda p: (mod.apply({"params": p}, x)[("disp", 0)] ** 2).mean()
+        )(v["params"])
+
+    g0, g1 = grads(m0), grads(m1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(b, a, atol=2e-5), g0, g1)
+
+
 @pytest.mark.slow
 def test_endodac_forward_pyramid():
     m = EndoDAC(backbone_size="vits", image_shape=(56, 70), residual_block_indexes=(2,))

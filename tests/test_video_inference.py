@@ -272,3 +272,29 @@ def test_split_compile_matches_whole_model(monkeypatch):
     assert getattr(fwd, "precompiled", False)
     split = infer_video_depth(fwd, frames, image_shape=(28, 28), chunk_windows=2)
     np.testing.assert_allclose(split, whole, atol=1e-6)
+
+
+def test_scan_trunk_matches_whole_model(monkeypatch):
+    """ENDODAV_SCAN_TRUNK=1 runs uniform ViT block runs as lax.scan over
+    stacked per-layer params (one compiled block body instead of `depth`
+    inlined copies — the vitl compile-size fix); the full chunk pipeline
+    must match the whole-model jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from endodav_tpu.eval import engine
+    from endodav_tpu.models.endodav import EndoDAV
+
+    m = EndoDAV(image_shape=(28, 28), num_frames=32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 28, 28, 3)))
+    frames = np.random.default_rng(2).integers(0, 255, (40, 32, 32, 3), dtype=np.uint8)
+
+    monkeypatch.delenv("ENDODAV_SPLIT_COMPILE", raising=False)
+    monkeypatch.delenv("ENDODAV_SCAN_TRUNK", raising=False)
+    whole = infer_video_depth(engine.depth_window_forward(m, v, "endodav"),
+                              frames, image_shape=(28, 28), chunk_windows=2)
+    monkeypatch.setenv("ENDODAV_SCAN_TRUNK", "1")
+    fwd = engine.depth_window_forward(m, v, "endodav")
+    assert getattr(fwd, "precompiled", False)
+    scan = infer_video_depth(fwd, frames, image_shape=(28, 28), chunk_windows=2)
+    np.testing.assert_allclose(scan, whole, atol=1e-5)

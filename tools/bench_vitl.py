@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
                     help="route motion modules to the fused temporal kernel")
+    ap.add_argument("--scan", action="store_true",
+                    help="scan-over-layers trunk (models/vit.py:scan_trunk_apply)"
+                         " — one compiled block body per segment")
     args = ap.parse_args()
 
     import os
@@ -71,10 +74,18 @@ def main():
     mean = jnp.asarray(IMAGENET_MEAN, dtype)
     std = jnp.asarray(IMAGENET_STD, dtype)
 
-    @jax.jit
-    def trunk_fn(pv, x):
-        xi = (x - mean) / std
-        return vit.apply({"params": pv}, xi, cfg["intermediate"])
+    if args.scan:
+        from endodav_tpu.models.vit import scan_trunk_apply
+
+        @jax.jit
+        def trunk_fn(pv, x):
+            xi = (x - mean) / std
+            return scan_trunk_apply(vit, pv, xi, cfg["intermediate"])
+    else:
+        @jax.jit
+        def trunk_fn(pv, x):
+            xi = (x - mean) / std
+            return vit.apply({"params": pv}, xi, cfg["intermediate"])
 
     @jax.jit
     def head_fn(ph_params, taps):
