@@ -102,18 +102,23 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
                     residual_block_indexes=residual_blocks,
                     image_shape=image_shape, dtype=jnp.bfloat16)
 
-    def fwd(win):
-        return model.apply(variables, win)[("disp", 0)]
+    # weights travel as jit ARGUMENTS (variables=), not closure constants:
+    # a closed-over param set lowers as inline HLO constants that every
+    # compile ships to the remote-compile service (engine.py note)
+    def fwd(v, win):
+        return model.apply(v, win)[("disp", 0)]
 
     def run_fast():
         return vi.infer_video_depth(fwd, frames, image_shape=image_shape,
                                     chunk_windows=chunk_windows,
-                                    transfer_dtype=np.float16, stitch="device")
+                                    transfer_dtype=np.float16, stitch="device",
+                                    variables=variables)
 
     def run_reference():
         return vi.infer_video_depth(fwd, frames, image_shape=image_shape,
                                     chunk_windows=1, transfer_dtype=np.float32,
-                                    stitch="host", sequential=True)
+                                    stitch="host", sequential=True,
+                                    variables=variables)
 
     log(f"[{name}] compiling batched path...")
     run_fast()
@@ -135,7 +140,9 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
     th, tw = vi.keep_aspect_size(*src_hw, *image_shape)
     win = jnp.asarray(
         rng.uniform(0, 1, (chunk_windows, 32, th, tw, 3)).astype(np.float32))
-    run = vi._chunk_fn(fwd, chunk_windows, th, tw, *src_hw, np.float16)
+    run_v = vi._chunk_fn(fwd, chunk_windows, th, tw, *src_hw, np.float16,
+                         with_variables=True)
+    run = lambda w: run_v(variables, w)  # noqa: E731
     out = run(win)
     out.block_until_ready()
     reps = 3
@@ -148,7 +155,7 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
     result["fps_compute"] = frames_per_chunk / per_chunk
 
     try:
-        cost = jax.jit(run._fun if hasattr(run, "_fun") else run).lower(win).compile().cost_analysis()
+        cost = run_v.lower(variables, win).compile().cost_analysis()
         flops_chunk = float(cost["flops"]) if cost and "flops" in cost else None
     except Exception as e:  # remote-compile backends may not expose it
         log(f"[{name}] cost_analysis unavailable ({type(e).__name__}); using analytic estimate")

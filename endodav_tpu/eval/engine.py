@@ -219,6 +219,15 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
         if env_on("ENDODAV_SPLIT_COMPILE") or env_on("ENDODAV_SCAN_TRUNK"):
             from endodav_tpu.eval.video_inference import split_compiled_forward
 
+            # NOTE on every jit below: `variables` is passed as an
+            # ARGUMENT, never captured by closure.  A closed-over array
+            # lowers as an inline HLO constant — the whole param set is
+            # embedded in the module text (measured: one 64 MB closure
+            # array -> 134 MB of HLO), which this environment's
+            # remote-compile service must ingest per compile.  At vitl
+            # (~1.2 GB of params-as-constants) that broke the pipe at
+            # ~40 min on every attempt; as arguments the same trunk
+            # compiles in ~4 min (PERFORMANCE.md "vitl").
             if env_on("ENDODAV_SCAN_TRUNK"):
                 # scan-over-layers trunk: one compiled ViTBlock body per
                 # segment instead of `depth` inlined copies — the vitl
@@ -232,29 +241,54 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
                 take = ENDODAV_CONFIGS[model.encoder]["intermediate"]
 
                 @jax.jit
-                def trunk(win):
+                def trunk_c(pv, win):
                     x = model.preprocess(win)
-                    return scan_trunk_apply(vit, p_vit, x, take)
+                    return scan_trunk_apply(vit, pv, x, take)
+
+                def trunk(win):
+                    return trunk_c(p_vit, win)
             else:
-                trunk = jax.jit(
-                    lambda win: model.apply(variables, win, method="encode"))
+                trunk_c = jax.jit(
+                    lambda v, win: model.apply(v, win, method="encode"))
+
+                def trunk(win):
+                    return trunk_c(variables, win)
 
             def make_head(t):  # taps -> [C*T, h', w', 1]
-                return jax.jit(lambda taps: model.apply(
-                    variables, taps, t, method="decode")[("disp", 0)])
+                head_c = jax.jit(lambda v, taps: model.apply(
+                    v, taps, t, method="decode")[("disp", 0)])
+                return lambda taps: head_c(variables, taps)
 
             return split_compiled_forward(trunk, make_head)
 
-        @jax.jit
-        def fwd(win):  # [C, T, h, w, 3] -> [C*T, h', w', 1]
-            return model.apply(variables, win)[("disp", 0)]
+        # Whole-model path: params as jit ARGUMENTS (see the note above —
+        # closure params lower as inline HLO constants, bloating every
+        # compile by the full weight set).  `vw_fn`/`bound_variables` let
+        # the video pipeline fuse its postprocess into ONE jit that still
+        # takes the weights as arguments (video_inference.py:_chunk_fn
+        # with_variables).
+        def vw_fn(v, win):  # [C, T, h, w, 3] -> [C*T, h', w', 1]
+            return model.apply(v, win)[("disp", 0)]
 
+        fwd_c = jax.jit(vw_fn)
+
+        def fwd(win):
+            return fwd_c(variables, win)
+
+        fwd.vw_fn = vw_fn
+        fwd.bound_variables = variables
         return fwd
 
-    @jax.jit
-    def fwd_single(batch):  # [B, h, w, 3] -> [B, h', w', 1]
-        return model.apply(variables, batch)[("disp", 0)]
+    def single_vw_fn(v, batch):  # [B, h, w, 3] -> [B, h', w', 1]
+        return model.apply(v, batch)[("disp", 0)]
 
+    fwd_single_c = jax.jit(single_vw_fn)
+
+    def fwd_single(batch):
+        return fwd_single_c(variables, batch)
+
+    fwd_single.vw_fn = single_vw_fn
+    fwd_single.bound_variables = variables
     return fwd_single
 
 
@@ -329,15 +363,25 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
 
                 mesh = build_mesh(getattr(opt, "serve_mesh", "") or "",
                                   default_all=False, allow_model=True)
+                # vw_fn/bound_variables (depth_window_forward): the chunk
+                # jit takes the weights as ARGUMENTS instead of closure
+                # constants — same fused pipeline, but the compile ships
+                # no inline weight constants to the compile service
+                vw = getattr(forward, "vw_fn", None)
                 disp = infer_video_depth(
-                    forward, data["colors"],
+                    vw if vw is not None else forward, data["colors"],
                     image_shape=tuple(getattr(opt, "depth_image_shape", (224, 280))),
                     chunk_windows=opt.chunk_windows,
                     stitch="device" if getattr(opt, "fast_stitch", False) else "host",
                     mesh=mesh,
+                    variables=forward.bound_variables if vw is not None else None,
                 )
             else:
-                disp = infer_video_depth_single_frame(forward, data["colors"])
+                vw = getattr(forward, "vw_fn", None)
+                disp = infer_video_depth_single_frame(
+                    vw if vw is not None else forward, data["colors"],
+                    variables=forward.bound_variables if vw is not None else None,
+                )
             infer_times.append((time.time() - t0) / len(data["colors"]) * 1000.0)
             _, pred_depths = disp_to_depth(disp, opt.min_depth, opt.max_depth)
             pred_depths = np.asarray(pred_depths)

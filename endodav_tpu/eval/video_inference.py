@@ -376,19 +376,25 @@ def infer_video_depth_single_frame(
     frames: np.ndarray,
     batch_size: int = 8,
     transfer_dtype=np.float32,
+    variables=None,
 ) -> np.ndarray:
     """Chunked frame-independent inference (endodac.infer_video_depth,
     models/endodac/endodac.py:259-272).  Returns [N, H, W] disparity at
-    original resolution."""
+    original resolution.
+
+    variables: same contract as `infer_video_depth` — forward_batch is
+    called as forward_batch(variables, batch) and the weights travel as
+    jit arguments instead of inline HLO constants."""
     n, fh, fw, _ = frames.shape
     if frames.dtype == np.uint8 or frames.max() > 1.5:
         frames = frames.astype(np.float32) / 255.0
 
     cache = _fn_cache(forward_batch)
-    key = (batch_size, fh, fw, np.dtype(transfer_dtype).name)
+    key = (batch_size, fh, fw, np.dtype(transfer_dtype).name,
+           variables is not None)
     run = cache.get(key)
     if run is None:
-        if getattr(forward_batch, "precompiled", False):
+        if getattr(forward_batch, "precompiled", False) and variables is None:
             # split-compiled / mesh-jitted forward (same contract as the
             # window path above): an outer jit would re-fuse it into one
             # whole-model compile per source resolution, so only the
@@ -401,6 +407,16 @@ def infer_video_depth_single_frame(
             def run(batch):
                 return _post(forward_batch(batch))
 
+        elif variables is not None:
+            # weights as jit ARGUMENTS, never closure constants
+            @jax.jit
+            def run_v(v, batch):
+                disp = forward_batch(v, batch)  # [B, h', w', 1]
+                disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+                return disp[..., 0].astype(transfer_dtype)
+
+            run = run_v
+
         else:
 
             @jax.jit
@@ -410,6 +426,9 @@ def infer_video_depth_single_frame(
                 return disp[..., 0].astype(transfer_dtype)
 
         cache[key] = run
+    if variables is not None:
+        _run = run
+        run = lambda batch: _run(variables, batch)  # noqa: E731
 
     pad_to = math.ceil(n / batch_size) * batch_size
     frames = np.concatenate([frames, np.repeat(frames[-1:], pad_to - n, axis=0)], axis=0)

@@ -144,7 +144,11 @@ def _forward(q, k, v, scale, n_valid=None):
     if scale is None:
         scale = dh ** -0.5
     n_pad = _round_up(n, 128)
-    block_q = min(n_pad, 512)
+    # 512 q-rows is the tuned bf16 tile; at f32 the q/out blocks and the
+    # in-kernel [block_q, n_pad] score tiles double in bytes, and the
+    # vitl-width f32 config lands 380 KB past the 16 MB scoped-vmem limit
+    # (observed at N=321, H*Dh=1024) — halve the q tile for 4-byte dtypes.
+    block_q = min(n_pad, 512 if q.dtype.itemsize <= 2 else 256)
 
     # heads fold into the lane dimension ([B, N, H*Dh] — a free reshape of
     # the native layout) and are peeled by lane slices inside the kernel,

@@ -34,6 +34,10 @@ CATEGORIES = (
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--encoder", default="vits", choices=["vits", "vitl"],
+                    help="vitl needs ENDODAV_SCAN_TRUNK=1: the unrolled "
+                         "24-block train-step lowering exceeds the "
+                         "remote-compile service (PERFORMANCE.md 'vitl')")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +46,7 @@ def main():
     from endodav_tpu.train.trainer import Trainer, _flatten_bt
 
     opt = Opts()
+    opt.encoder = args.encoder
     opt.log_dir = tempfile.mkdtemp()
     tr = Trainer(opt)
     rng = np.random.default_rng(0)
