@@ -152,28 +152,41 @@ def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
 
     # split compilation needs the model's encode/decode methods (EndoDAV);
     # single-frame EndoDAC compiles whole-model regardless of the flag
+    # NOTE: `sharded`/`head_sharded` are passed to the jits as ARGUMENTS
+    # (jit respects the arrays' NamedShardings) — a closed-over array
+    # lowers as an inline HLO constant, embedding the full weight set in
+    # every compiled module (eval/engine.py note; PERFORMANCE.md "Params
+    # as jit ARGUMENTS").
     if (not env_on("ENDODAV_SPLIT_COMPILE")
             or not hasattr(model_local, "encode")):
         @jax.jit
-        def fwd(win):
+        def fwd_c(v, win):
             run = jax.shard_map(
-                lambda v, w: model_local.apply(v, w)[("disp", 0)],
+                lambda vv, w: model_local.apply(vv, w)[("disp", 0)],
                 mesh=mesh, in_specs=(specs, P()), out_specs=P(),
                 check_vma=False)
-            return run(sharded, win)
+            return run(v, win)
 
+        def fwd(win):
+            return fwd_c(sharded, win)
+
+        # AOT handle with the sharded params bound (introspection/tests)
+        fwd.lower = lambda win: fwd_c.lower(sharded, win)
         return fwd
 
     # split compilation: trunk and head as separate shard_maps (the head's
     # params are replicated; it still runs under shard_map so its Pallas
     # temporal kernels trace at ordinary local shapes)
     @jax.jit
-    def trunk(win):
+    def trunk_c(v, win):
         run = jax.shard_map(
-            lambda v, w: model_local.apply(v, w, method="encode"),
+            lambda vv, w: model_local.apply(vv, w, method="encode"),
             mesh=mesh, in_specs=(specs, P()), out_specs=P(),
             check_vma=False)
-        return run(sharded, win)
+        return run(v, win)
+
+    def trunk(win):
+        return trunk_c(sharded, win)
 
     head_vars = {"params": {"head": variables["params"]["head"]}, **extras}
     head_specs = jax.tree.map(lambda _: P(), head_vars)
@@ -186,8 +199,9 @@ def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
             return model_local.apply(v, taps, frames,
                                      method="decode")[("disp", 0)]
 
-        return jax.jit(lambda taps: jax.shard_map(
+        head_c = jax.jit(lambda v, taps: jax.shard_map(
             head_fn, mesh=mesh, in_specs=(head_specs, P()),
-            out_specs=P(), check_vma=False)(head_sharded, taps))
+            out_specs=P(), check_vma=False)(v, taps))
+        return lambda taps: head_c(head_sharded, taps)
 
     return split_compiled_forward(trunk, make_head)
