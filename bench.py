@@ -108,11 +108,22 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
     def fwd(v, win):
         return model.apply(v, win)[("disp", 0)]
 
+    # unique-frame dedup serving (video_inference.DedupWindowForward):
+    # encode each source frame ONCE, gather taps per window — exact, and
+    # skips the ~31% of trunk FLOPs the sliding window's OVERLAP
+    # keyframe-carry re-encodes.  ENDODAV_NO_DEDUP=1 restores the
+    # window-re-encode path for A/B.
+    import os
+
+    dedup = None
+    if not os.environ.get("ENDODAV_NO_DEDUP"):
+        dedup = vi.dedup_window_forward(model, variables)
+
     def run_fast():
         return vi.infer_video_depth(fwd, frames, image_shape=image_shape,
                                     chunk_windows=chunk_windows,
                                     transfer_dtype=np.float16, stitch="device",
-                                    variables=variables)
+                                    variables=variables, dedup=dedup)
 
     def run_reference():
         return vi.infer_video_depth(fwd, frames, image_shape=image_shape,
@@ -174,6 +185,48 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
     log(f"[{name}] compute-only: {result['fps_compute']:.1f} frames/s, "
         f"{result['gflops_per_frame']:.1f} GFLOP/frame ({result['flops_source']}), "
         f"MFU {100*result['mfu_compute']:.1f}% of v5e bf16 peak")
+
+    if dedup is not None:
+        # device-resident dedup pipeline: unique-frame encodes + per-window
+        # heads (the stitch and transfers excluded, same contract as the
+        # window-forward compute column above)
+        import math
+
+        idx = vi.window_indices(n_frames)
+        nw = idx.shape[0]
+        pad_to = math.ceil(nw / chunk_windows) * chunk_windows
+        idx_p = np.concatenate(
+            [idx, np.repeat(idx[-1:], pad_to - nw, axis=0)], axis=0)
+        fb = dedup.batch_frames
+        n_fpad = math.ceil(n_frames / fb) * fb
+        frames_res = jnp.asarray(
+            rng.uniform(0, 1, (n_fpad, th, tw, 3)).astype(np.float32))
+        head = dedup.head_for(*src_hw, np.float16)
+
+        def run_dedup():
+            toks, clss = [], []
+            for b0 in range(0, n_fpad, fb):
+                t4, c4 = dedup.encode(variables, frames_res[b0:b0 + fb])
+                toks.append(t4)
+                clss.append(c4)
+            tokens_all = jnp.concatenate(toks, axis=0)
+            cls_all = jnp.concatenate(clss, axis=0)
+            outs = [head(variables,
+                         jnp.take(tokens_all, jnp.asarray(idx_p[c0:c0 + chunk_windows].reshape(-1)), axis=0),
+                         jnp.take(cls_all, jnp.asarray(idx_p[c0:c0 + chunk_windows].reshape(-1)), axis=0))
+                    for c0 in range(0, pad_to, chunk_windows)]
+            outs[-1].block_until_ready()
+
+        run_dedup()
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            run_dedup()
+        per_clip = (time.time() - t0) / reps
+        result["fps_compute_dedup"] = n_frames / per_clip
+        log(f"[{name}] compute-only dedup (unique-frame encode): "
+            f"{result['fps_compute_dedup']:.1f} frames/s for the {n_frames}-frame clip "
+            f"({n_fpad} encodes vs {pad_to * 32} window slots)")
     return result
 
 
@@ -226,6 +279,8 @@ def main():
         # production-host rate
         "fps_compute": round(headline["fps_compute"], 1),
         "mfu_compute": round(headline["mfu_compute"], 3),
+        **({"fps_compute_dedup": round(headline["fps_compute_dedup"], 1)}
+           if "fps_compute_dedup" in headline else {}),
         "tunnel_h2d_mbps": h2d,
         "tunnel_d2h_mbps": d2h,
     }))

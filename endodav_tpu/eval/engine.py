@@ -184,7 +184,8 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
     env_flags = [n for n in ("ENDODAV_NO_FLASH", "ENDODAV_NO_FUSED",
                              "ENDODAV_NO_WARP_MM", "ENDODAV_INT8",
                              "ENDODAV_FUSED_RCU", "ENDODAV_SPLIT_COMPILE",
-                             "ENDODAV_SCAN_TRUNK", "ENDODAV_LOWRES_OUTCONV")
+                             "ENDODAV_SCAN_TRUNK", "ENDODAV_LOWRES_OUTCONV",
+                             "ENDODAV_DEDUP")
                  if os.environ.get(n)]
     print(f"[serve] forward: model_type={model_type}"
           + (f" serve_mesh={spec}" if spec else "")
@@ -216,6 +217,16 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
         return fwd
 
     if model_type == "endodav":
+        dedup = None
+        if env_on("ENDODAV_DEDUP"):
+            # encode each unique source frame ONCE; the sliding window's
+            # OVERLAP keyframe-carried slots re-enter only the temporal
+            # DPT head (exact — the trunk is strictly per-frame).  Saves
+            # ~31% of trunk FLOPs at steady state
+            # (video_inference.DedupWindowForward).
+            from endodav_tpu.eval.video_inference import dedup_window_forward
+
+            dedup = dedup_window_forward(model, variables)
         if env_on("ENDODAV_SPLIT_COMPILE") or env_on("ENDODAV_SCAN_TRUNK"):
             from endodav_tpu.eval.video_inference import split_compiled_forward
 
@@ -259,7 +270,9 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
                     v, taps, t, method="decode")[("disp", 0)])
                 return lambda taps: head_c(variables, taps)
 
-            return split_compiled_forward(trunk, make_head)
+            fwd = split_compiled_forward(trunk, make_head)
+            fwd.dedup = dedup
+            return fwd
 
         # Whole-model path: params as jit ARGUMENTS (see the note above —
         # closure params lower as inline HLO constants, bloating every
@@ -277,6 +290,7 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
 
         fwd.vw_fn = vw_fn
         fwd.bound_variables = variables
+        fwd.dedup = dedup
         return fwd
 
     def single_vw_fn(v, batch):  # [B, h, w, 3] -> [B, h', w', 1]
@@ -375,6 +389,7 @@ def evaluate_video_sequences(opt, sequences, forward=None, max_depth=MAX_DEPTH,
                     stitch="device" if getattr(opt, "fast_stitch", False) else "host",
                     mesh=mesh,
                     variables=forward.bound_variables if vw is not None else None,
+                    dedup=getattr(forward, "dedup", None),
                 )
             else:
                 vw = getattr(forward, "vw_fn", None)

@@ -38,7 +38,103 @@ from endodav_tpu.models.endodav import INFER_LEN, INTERP_LEN, KEYFRAMES, OVERLAP
 from endodav_tpu.ops.resize import resize2d
 
 __all__ = ["window_indices", "keep_aspect_size", "infer_video_depth",
-           "infer_video_depth_single_frame", "split_compiled_forward"]
+           "infer_video_depth_single_frame", "split_compiled_forward",
+           "dedup_window_forward"]
+
+
+class DedupWindowForward:
+    """Unique-frame trunk serving: encode each source frame ONCE.
+
+    The reference's sliding window re-reads OVERLAP=10 of each window's
+    32 input slots from earlier frames (the keyframe carry,
+    endodav.py:186-199), and re-runs the whole model on them.  But the
+    ViT trunk is strictly per-frame — `EndoDAV.encode` reshapes
+    [B, T, h, w, 3] to [B*T, ...] and no trunk op mixes frames — so the
+    re-encodes are pure duplicate work: ~31% of trunk FLOPs at steady
+    state (10 of every 32 window slots), ~25% on the 186-frame bench
+    clip (256 window slots vs 192 padded unique frames).
+
+    This object holds the two jitted pieces of the dedup pipeline:
+
+      encode(v, batch):  [fb, h, w, 3] -> (tokens [fb, K, N, C],
+                         cls [fb, K, C]) — the K intermediate taps of
+                         each frame, packed into two arrays so the
+                         per-window gather is two `jnp.take` dispatches.
+      head_for(fh, fw, out_dtype) -> head(v, tokens, cls):
+                         gathered window taps -> decode -> full-res
+                         upsample -> cast, one jit per output shape.
+
+    `infer_video_depth(..., dedup=...)` drives them: all unique frames
+    encode in fixed [batch_frames]-sized batches (static shapes — one
+    trunk compile total), the packed taps concatenate once, and each
+    window chunk gathers its 32 rows per window before the head jit.
+    The gathered taps are exact copies of what the window path's encode
+    would produce, so outputs are bit-comparable to the window pipeline.
+
+    Weights travel as jit ARGUMENTS (`variables` is only a default,
+    never a closure constant) — one trace serves every epoch's weights,
+    same contract as the rest of the serving path (engine.py note).
+    """
+
+    def __init__(self, model, variables=None, batch_frames: int = INFER_LEN):
+        from endodav_tpu.models.endodav import ENDODAV_CONFIGS
+        from endodav_tpu.utils.envflags import env_on
+
+        self.variables = variables
+        self.batch_frames = int(batch_frames)
+        take = ENDODAV_CONFIGS[model.encoder]["intermediate"]
+        self._n_taps = len(take)
+
+        if env_on("ENDODAV_SCAN_TRUNK"):
+            # scan-over-layers trunk (models/vit.py:scan_trunk_apply):
+            # same function/params, one compiled block body per segment —
+            # the vitl compile-size fix (PERFORMANCE.md "vitl").
+            from endodav_tpu.models.endodav import build_trunk
+            from endodav_tpu.models.vit import scan_trunk_apply
+
+            vit = build_trunk(model)
+
+            @jax.jit
+            def encode_c(v, batch):
+                x = model.preprocess(batch[None])
+                taps = scan_trunk_apply(vit, v["params"]["pretrained"], x, take)
+                return (jnp.stack([t for t, _ in taps], axis=1),
+                        jnp.stack([c for _, c in taps], axis=1))
+        else:
+
+            @jax.jit
+            def encode_c(v, batch):
+                taps = model.apply(v, batch[None], method="encode")
+                return (jnp.stack([t for t, _ in taps], axis=1),
+                        jnp.stack([c for _, c in taps], axis=1))
+
+        self._encode_c = encode_c
+        self._model = model
+        self._head_cache: dict = {}
+
+    def encode(self, v, batch):
+        return self._encode_c(v, batch)
+
+    def head_for(self, fh: int, fw: int, out_dtype):
+        key = (fh, fw, np.dtype(out_dtype).name)
+        head = self._head_cache.get(key)
+        if head is None:
+            model, k = self._model, self._n_taps
+
+            @jax.jit
+            def head(v, tokens, cls):
+                taps = [(tokens[:, i], cls[:, i]) for i in range(k)]
+                disp = model.apply(v, taps, INFER_LEN, method="decode")[("disp", 0)]
+                disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+                return disp[..., 0].astype(out_dtype)
+
+            self._head_cache[key] = head
+        return head
+
+
+def dedup_window_forward(model, variables=None, batch_frames: int = INFER_LEN):
+    """Build the encode-once/decode-per-window serving pieces (above)."""
+    return DedupWindowForward(model, variables, batch_frames)
 
 
 def split_compiled_forward(trunk, make_head):
@@ -299,6 +395,7 @@ def infer_video_depth(
     stitch: str = "host",
     mesh=None,
     variables=None,
+    dedup: "DedupWindowForward | None" = None,
 ) -> np.ndarray:
     """Full-video sigmoid-disparity inference.
 
@@ -317,6 +414,11 @@ def infer_video_depth(
     the jit as arguments — pass a STABLE forward_windows object and the
     chunk pipeline compiles once for any number of weight updates
     (the trainer's per-epoch eval relies on this).
+    dedup: optional `DedupWindowForward` — encode each unique source
+    frame ONCE and gather taps per window instead of re-encoding the
+    OVERLAP keyframe-carried slots per window (exact; ~31% of trunk
+    FLOPs at steady state).  Ignored for sequential/meshed runs and
+    under ENDODAV_NO_DEDUP=1.
     Returns raw stitched disparity [N, H, W] at original resolution —
     callers apply `disp_to_depth` exactly as the reference does
     (evaluate_depth_video.py:167-170).
@@ -340,6 +442,37 @@ def infer_video_depth(
     idx_padded = np.concatenate([idx, np.repeat(idx[-1:], pad_to - num_windows, axis=0)], axis=0)
 
     chunk_dtype = np.float32 if stitch == "device" else transfer_dtype
+
+    import os as _os
+    use_dedup = (dedup is not None and not sequential and mesh is None
+                 and not _os.environ.get("ENDODAV_NO_DEDUP"))
+    if use_dedup:
+        dv = variables if variables is not None else dedup.variables
+        fb = dedup.batch_frames
+        n_fpad = math.ceil(n / fb) * fb
+        pad_fidx = np.minimum(np.arange(n_fpad), n - 1)
+        toks, clss = [], []
+        for b0 in range(0, n_fpad, fb):
+            batch = jnp.take(frames_dev, jnp.asarray(pad_fidx[b0 : b0 + fb]), axis=0)
+            t4, c4 = dedup.encode(dv, batch)
+            toks.append(t4)
+            clss.append(c4)
+        tokens_all = toks[0] if len(toks) == 1 else jnp.concatenate(toks, axis=0)
+        cls_all = clss[0] if len(clss) == 1 else jnp.concatenate(clss, axis=0)
+        head = dedup.head_for(fh, fw, chunk_dtype)
+        pending = []
+        for c0 in range(0, pad_to, chunk_windows):
+            widx = jnp.asarray(idx_padded[c0 : c0 + chunk_windows].reshape(-1))
+            pending.append(head(dv, jnp.take(tokens_all, widx, axis=0),
+                                jnp.take(cls_all, widx, axis=0)))
+        if stitch == "device":
+            return _device_stitch(pending, num_windows, n, fh, fw, transfer_dtype)
+        depth_windows = np.concatenate(
+            [np.asarray(o, dtype=np.float32) for o in pending], axis=0)
+        depth_windows = depth_windows[: num_windows * INFER_LEN].reshape(
+            num_windows, INFER_LEN, fh, fw)
+        return _stitch(depth_windows, n)
+
     run = _chunk_fn(forward_windows, chunk_windows, th, tw, fh, fw, chunk_dtype,
                     with_variables=variables is not None)
     if variables is not None:

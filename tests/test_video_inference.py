@@ -298,3 +298,78 @@ def test_scan_trunk_matches_whole_model(monkeypatch):
     assert getattr(fwd, "precompiled", False)
     scan = infer_video_depth(fwd, frames, image_shape=(28, 28), chunk_windows=2)
     np.testing.assert_allclose(scan, whole, atol=1e-5)
+
+
+def test_dedup_matches_whole_model(monkeypatch):
+    """ENDODAV_DEDUP=1 (engine.depth_window_forward) encodes each unique
+    source frame ONCE and gathers taps per window instead of re-encoding
+    the OVERLAP keyframe-carried slots (video_inference.DedupWindowForward).
+    The trunk is strictly per-frame, so both host- and device-stitch
+    outputs must match the whole-model window pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from endodav_tpu.eval import engine
+    from endodav_tpu.models.endodav import EndoDAV
+
+    m = EndoDAV(image_shape=(28, 28), num_frames=32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 28, 28, 3)))
+    frames = np.random.default_rng(3).integers(0, 255, (40, 32, 32, 3), dtype=np.uint8)
+
+    for name in ("ENDODAV_SPLIT_COMPILE", "ENDODAV_SCAN_TRUNK",
+                 "ENDODAV_DEDUP", "ENDODAV_NO_DEDUP"):
+        monkeypatch.delenv(name, raising=False)
+    base_fwd = engine.depth_window_forward(m, v, "endodav")
+    assert base_fwd.dedup is None
+    whole = infer_video_depth(base_fwd.vw_fn, frames, image_shape=(28, 28),
+                              chunk_windows=2, variables=base_fwd.bound_variables)
+
+    monkeypatch.setenv("ENDODAV_DEDUP", "1")
+    fwd = engine.depth_window_forward(m, v, "endodav")
+    assert fwd.dedup is not None
+    dd = infer_video_depth(fwd.vw_fn, frames, image_shape=(28, 28),
+                           chunk_windows=2, variables=fwd.bound_variables,
+                           dedup=fwd.dedup)
+    np.testing.assert_allclose(dd, whole, atol=1e-5)
+
+    dd_dev = infer_video_depth(fwd.vw_fn, frames, image_shape=(28, 28),
+                               chunk_windows=2, variables=fwd.bound_variables,
+                               dedup=fwd.dedup, stitch="device")
+    np.testing.assert_allclose(dd_dev, whole, atol=2e-3)
+
+    # ENDODAV_NO_DEDUP is the opt-out even when a dedup object is passed
+    monkeypatch.setenv("ENDODAV_NO_DEDUP", "1")
+    off = infer_video_depth(fwd.vw_fn, frames, image_shape=(28, 28),
+                            chunk_windows=2, variables=fwd.bound_variables,
+                            dedup=fwd.dedup)
+    np.testing.assert_allclose(off, whole, atol=0)
+
+
+def test_dedup_scan_trunk_matches_whole_model(monkeypatch):
+    """Dedup composes with the scan-over-layers trunk (the vitl serving
+    config): ENDODAV_DEDUP=1 + ENDODAV_SCAN_TRUNK=1 must still match the
+    plain whole-model pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from endodav_tpu.eval import engine
+    from endodav_tpu.models.endodav import EndoDAV
+
+    m = EndoDAV(image_shape=(28, 28), num_frames=32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 28, 28, 3)))
+    frames = np.random.default_rng(4).integers(0, 255, (40, 32, 32, 3), dtype=np.uint8)
+
+    for name in ("ENDODAV_SPLIT_COMPILE", "ENDODAV_SCAN_TRUNK",
+                 "ENDODAV_DEDUP", "ENDODAV_NO_DEDUP"):
+        monkeypatch.delenv(name, raising=False)
+    base_fwd = engine.depth_window_forward(m, v, "endodav")
+    whole = infer_video_depth(base_fwd.vw_fn, frames, image_shape=(28, 28),
+                              chunk_windows=2, variables=base_fwd.bound_variables)
+
+    monkeypatch.setenv("ENDODAV_DEDUP", "1")
+    monkeypatch.setenv("ENDODAV_SCAN_TRUNK", "1")
+    fwd = engine.depth_window_forward(m, v, "endodav")
+    assert getattr(fwd, "precompiled", False) and fwd.dedup is not None
+    dd = infer_video_depth(fwd, frames, image_shape=(28, 28),
+                           chunk_windows=2, dedup=fwd.dedup)
+    np.testing.assert_allclose(dd, whole, atol=1e-5)
