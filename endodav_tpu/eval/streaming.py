@@ -62,6 +62,17 @@ class DepthStreamer:
     image_shape: model input target (keep-aspect lower_bound, like the
       offline `image_shape` argument).
     transfer_dtype: device->host dtype for the raw window outputs.
+    dedup: optional `video_inference.DedupWindowForward` (with
+      `variables` set).  Streams latency-optimally: each frame is
+      trunk-encoded ONCE on arrival — the 21 fresh-frame encodes of a
+      window overlap the camera inter-arrival gaps instead of bursting
+      when the window completes, and the keyframe-carried slots are
+      never re-encoded at all.  The per-window critical path shrinks to
+      one frame encode + the temporal DPT head (vs a full 32-frame
+      forward), and the buffered state becomes per-frame taps instead
+      of raw frames (same <2*INFER_LEN bound).  Exact for uint8
+      streams; float streams use a per-frame (not per-window) [0,255]
+      range heuristic.
 
     Output frames are raw stitched sigmoid disparity [H, W] float32 at
     source resolution, identical to the offline path's rows.
@@ -72,16 +83,23 @@ class DepthStreamer:
         forward_windows: Callable,
         image_shape: tuple[int, int] = (224, 280),
         transfer_dtype=np.float32,
+        dedup=None,
     ):
         self._fwd = forward_windows
         self._image_shape = tuple(image_shape)
         self._transfer_dtype = transfer_dtype
+        self._dedup = dedup
+        if dedup is not None and dedup.variables is None:
+            raise ValueError("DepthStreamer dedup mode needs a "
+                             "DedupWindowForward built with `variables`")
         self._frames: dict[int, np.ndarray] = {}   # source idx -> frame
+        self._taps: dict[int, tuple] = {}          # source idx -> (tok, cls)
         self._n_pushed = 0
         self._win = 0                              # next window ordinal
         self._prev_idx: np.ndarray | None = None   # prev window's 32 src indices
         self._tail: list[np.ndarray] = []          # provisional aligned frames
         self._run = None                           # jitted chunk fn (lazy: needs H,W)
+        self._head = None                          # dedup-mode window head
         self._pre = None                           # jitted preproc
         self._src_hw: tuple[int, int] | None = None
         self._flushed = False
@@ -102,7 +120,10 @@ class DepthStreamer:
             return resize2d(x, (th, tw), "bicubic", align_corners=False)
 
         self._pre = pre
-        self._run = _chunk_fn(self._fwd, 1, th, tw, fh, fw, self._transfer_dtype)
+        if self._dedup is not None:
+            self._head = self._dedup.head_for(fh, fw, self._transfer_dtype)
+        else:
+            self._run = _chunk_fn(self._fwd, 1, th, tw, fh, fw, self._transfer_dtype)
 
     def _window_idx(self, n_clamp: int) -> np.ndarray:
         """Source indices for window `self._win`, clamped to n_clamp-1 —
@@ -115,18 +136,26 @@ class DepthStreamer:
 
     def _fire_window(self, n_clamp: int) -> list[np.ndarray]:
         idx = self._window_idx(n_clamp)
-        win_u8 = np.stack([self._frames[i] for i in idx], axis=0)
-        if win_u8.dtype != np.uint8:
-            # float frames: mirror the offline [0,255]-range heuristic
-            # (video_inference.py:300 `frames.max() > 1.5`) — offline
-            # decides on the whole video, online on the window stack
-            # (the same answer for any real footage; an all-black first
-            # window of a 0-255 float stream is the only divergence)
-            win_u8 = win_u8.astype(np.float32)
-            if float(win_u8.max()) > 1.5:
-                win_u8 = win_u8 / 255.0
-        win = self._pre(jnp.asarray(win_u8))[None]          # [1, T, th, tw, 3]
-        out = np.asarray(self._run(win), dtype=np.float32)  # [T, fh, fw]
+        if self._dedup is not None:
+            # per-window critical path: just the temporal DPT head over
+            # the 32 gathered tap rows (every encode already ran at push)
+            tok = jnp.concatenate([self._taps[i][0] for i in idx], axis=0)
+            cls = jnp.concatenate([self._taps[i][1] for i in idx], axis=0)
+            out = np.asarray(self._head(self._dedup.variables, tok, cls),
+                             dtype=np.float32)              # [T, fh, fw]
+        else:
+            win_u8 = np.stack([self._frames[i] for i in idx], axis=0)
+            if win_u8.dtype != np.uint8:
+                # float frames: mirror the offline [0,255]-range heuristic
+                # (video_inference.py:300 `frames.max() > 1.5`) — offline
+                # decides on the whole video, online on the window stack
+                # (the same answer for any real footage; an all-black first
+                # window of a 0-255 float stream is the only divergence)
+                win_u8 = win_u8.astype(np.float32)
+                if float(win_u8.max()) > 1.5:
+                    win_u8 = win_u8 / 255.0
+            win = self._pre(jnp.asarray(win_u8))[None]          # [1, T, th, tw, 3]
+            out = np.asarray(self._run(win), dtype=np.float32)  # [T, fh, fw]
 
         self._prev_idx = idx
         self._win += 1
@@ -135,6 +164,7 @@ class DepthStreamer:
         keep = set(int(i) for i in idx[_KF])
         nxt = _STEP * self._win
         self._frames = {i: f for i, f in self._frames.items() if i in keep or i >= nxt}
+        self._taps = {i: t for i, t in self._taps.items() if i in keep or i >= nxt}
 
         # incremental stitch (video_inference._stitch, one window's worth)
         if not self._tail:  # window 0
@@ -154,8 +184,9 @@ class DepthStreamer:
     # ------------------------------------------------------------------ API
     @property
     def frames_buffered(self) -> int:
-        """Source frames currently held (bounded < 2*INFER_LEN)."""
-        return len(self._frames)
+        """Source frames (or, in dedup mode, per-frame tap entries)
+        currently held (bounded < 2*INFER_LEN)."""
+        return max(len(self._frames), len(self._taps))
 
     def push(self, frame: np.ndarray) -> list[np.ndarray]:
         """Ingest one [H, W, 3] frame; return newly-final depth frames."""
@@ -163,7 +194,18 @@ class DepthStreamer:
         if self._src_hw is None:
             self._bind_shapes(frame)
         assert frame.shape[:2] == self._src_hw, "frame size changed mid-stream"
-        self._frames[self._n_pushed] = frame
+        if self._dedup is not None:
+            # encode ONCE at arrival; only the taps are buffered
+            x = frame
+            if x.dtype != np.uint8:
+                x = x.astype(np.float32)
+                if float(x.max()) > 1.5:
+                    x = x / 255.0
+            dev = self._pre(jnp.asarray(x[None]))            # [1, th, tw, 3]
+            self._taps[self._n_pushed] = self._dedup.encode(
+                self._dedup.variables, dev)                  # ([1,K,N,C], [1,K,C])
+        else:
+            self._frames[self._n_pushed] = frame
         self._n_pushed += 1
         # window `self._win` fires once its last fresh frame arrives
         if self._n_pushed == _STEP * self._win + INFER_LEN:
@@ -186,6 +228,7 @@ class DepthStreamer:
         out.extend(self._tail)
         self._tail = []
         self._frames = {}
+        self._taps = {}
         # emitted total = num_windows*step + overlap... truncate to n
         emitted_before = (num_windows - 1) * _STEP + INFER_LEN - len(out)
         return out[: max(0, n - emitted_before)]

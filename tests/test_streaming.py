@@ -98,3 +98,48 @@ def test_streaming_guards():
     assert streamer.flush() == []
     with pytest.raises(AssertionError):
         streamer.push(_frames(1)[0])  # push after flush
+
+
+@pytest.mark.parametrize("n", [33, 54])
+def test_streaming_dedup_matches_offline(n):
+    """Dedup streaming (per-frame encode at push + per-window temporal
+    head) must reproduce the offline pipeline exactly: the trunk is
+    strictly per-frame, so moving encodes to arrival time changes
+    nothing but the schedule."""
+    import jax
+
+    from endodav_tpu.eval.video_inference import dedup_window_forward
+    from endodav_tpu.models.endodav import EndoDAV
+
+    m = EndoDAV(image_shape=(28, 28), num_frames=32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 28, 28, 3)))
+    frames = np.random.default_rng(7).integers(0, 255, (n, 32, 32, 3), dtype=np.uint8)
+
+    def fwd(win):
+        return m.apply(v, win)[("disp", 0)]
+
+    ref = infer_video_depth(fwd, frames, image_shape=(28, 28),
+                            chunk_windows=2, stitch="host")
+
+    dd = dedup_window_forward(m, v)
+    streamer = DepthStreamer(fwd, image_shape=(28, 28), dedup=dd)
+    out, max_buf = [], 0
+    for f in frames:
+        out.extend(streamer.push(f))
+        max_buf = max(max_buf, streamer.frames_buffered)
+    out.extend(streamer.flush())
+
+    got = np.stack(out, axis=0)
+    assert got.shape == ref.shape == (n, 32, 32)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+    assert max_buf <= 64  # constant memory: taps buffered, not re-encoded
+
+
+def test_streaming_dedup_requires_variables():
+    from endodav_tpu.eval.video_inference import dedup_window_forward
+    from endodav_tpu.models.endodav import EndoDAV
+
+    m = EndoDAV(image_shape=(28, 28), num_frames=32)
+    dd = dedup_window_forward(m, None)
+    with pytest.raises(ValueError, match="variables"):
+        DepthStreamer(lambda w: w, image_shape=(28, 28), dedup=dd)
