@@ -185,7 +185,7 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
                              "ENDODAV_NO_WARP_MM", "ENDODAV_INT8",
                              "ENDODAV_FUSED_RCU", "ENDODAV_SPLIT_COMPILE",
                              "ENDODAV_SCAN_TRUNK", "ENDODAV_LOWRES_OUTCONV",
-                             "ENDODAV_DEDUP")
+                             "ENDODAV_NO_DEDUP")
                  if os.environ.get(n)]
     print(f"[serve] forward: model_type={model_type}"
           + (f" serve_mesh={spec}" if spec else "")
@@ -218,12 +218,13 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
 
     if model_type == "endodav":
         dedup = None
-        if env_on("ENDODAV_DEDUP"):
-            # encode each unique source frame ONCE; the sliding window's
-            # OVERLAP keyframe-carried slots re-enter only the temporal
-            # DPT head (exact — the trunk is strictly per-frame).  Saves
-            # ~31% of trunk FLOPs at steady state
-            # (video_inference.DedupWindowForward).
+        if not env_on("ENDODAV_NO_DEDUP"):
+            # DEFAULT: encode each unique source frame ONCE; the sliding
+            # window's OVERLAP keyframe-carried slots re-enter only the
+            # temporal DPT head (exact — the trunk is strictly per-frame,
+            # metrics device-verified identical).  Saves ~31% of trunk
+            # FLOPs at steady state; 518px e2e A/B +33%
+            # (video_inference.DedupWindowForward, PERFORMANCE.md).
             from endodav_tpu.eval.video_inference import dedup_window_forward
 
             dedup = dedup_window_forward(model, variables)

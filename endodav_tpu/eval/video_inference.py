@@ -459,6 +459,10 @@ def infer_video_depth(
             clss.append(c4)
         tokens_all = toks[0] if len(toks) == 1 else jnp.concatenate(toks, axis=0)
         cls_all = clss[0] if len(clss) == 1 else jnp.concatenate(clss, axis=0)
+        # the source frames are fully consumed once encoded — release the
+        # [n, th, tw, 3] f32 buffer (4 MB/frame at 518px) so long clips
+        # hold only the packed taps (~5.2 MB/frame bf16 at 518px)
+        del frames_dev, toks, clss
         head = dedup.head_for(fh, fw, chunk_dtype)
         pending = []
         for c0 in range(0, pad_to, chunk_windows):

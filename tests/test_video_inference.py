@@ -319,12 +319,13 @@ def test_dedup_matches_whole_model(monkeypatch):
     for name in ("ENDODAV_SPLIT_COMPILE", "ENDODAV_SCAN_TRUNK",
                  "ENDODAV_DEDUP", "ENDODAV_NO_DEDUP"):
         monkeypatch.delenv(name, raising=False)
+    monkeypatch.setenv("ENDODAV_NO_DEDUP", "1")  # baseline leg
     base_fwd = engine.depth_window_forward(m, v, "endodav")
     assert base_fwd.dedup is None
     whole = infer_video_depth(base_fwd.vw_fn, frames, image_shape=(28, 28),
                               chunk_windows=2, variables=base_fwd.bound_variables)
 
-    monkeypatch.setenv("ENDODAV_DEDUP", "1")
+    monkeypatch.delenv("ENDODAV_NO_DEDUP")  # dedup is the default
     fwd = engine.depth_window_forward(m, v, "endodav")
     assert fwd.dedup is not None
     dd = infer_video_depth(fwd.vw_fn, frames, image_shape=(28, 28),
