@@ -135,6 +135,27 @@ def main():
     print(f"[vitl] e2e chunk forward: {per*1e3:.0f} ms -> "
           f"{n/per:.1f} frames/s compute ({args.reps} reps)", flush=True)
 
+    if args.chunk == 1:
+        # dedup serving composition (the eval CLIs' DEFAULT,
+        # video_inference.DedupWindowForward): the 186-frame bench clip
+        # is 6 unique-frame [32]-batch encodes (192 encodes) + 8 window
+        # heads — vs the window path's 8 full (trunk+head) forwards
+        # (256 encodes).  Same-shape buffers stand in for the gathered
+        # taps (the per-window tap gather is ~0.5 ms of HBM traffic at
+        # these shapes, negligible vs vitl trunk times).
+        t0 = time.time()
+        taps_d = None
+        for xb in (xs * 3)[:6]:
+            taps_d = trunk_fn(pv, xb)
+        for _ in range(8):
+            disp = head_fn(phd, taps_d)
+        jax.block_until_ready(disp)
+        clip = time.time() - t0
+        print(f"[vitl] dedup clip (6x32 encodes + 8 window heads, 186 frames): "
+              f"{clip:.2f} s -> {186/clip:.1f} frames/s effective; "
+              f"window path 8x(trunk+head) = {8*per:.2f} s -> "
+              f"{186/(8*per):.1f} frames/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
