@@ -199,22 +199,30 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
             [idx, np.repeat(idx[-1:], pad_to - nw, axis=0)], axis=0)
         fb = dedup.batch_frames
         n_fpad = math.ceil(n_frames / fb) * fb
-        frames_res = jnp.asarray(
-            rng.uniform(0, 1, (n_fpad, th, tw, 3)).astype(np.float32))
+        # pre-stage the encode batches and gather indices on device so the
+        # timed loop measures device work, not per-dispatch relay hops
+        # (~20 ms each through this environment's tunnel)
+        batches = [jnp.asarray(rng.uniform(0, 1, (fb, th, tw, 3)).astype(np.float32))
+                   for _ in range(n_fpad // fb)]
+        widx_dev = [jnp.asarray(idx_p[c0:c0 + chunk_windows].reshape(-1))
+                    for c0 in range(0, pad_to, chunk_windows)]
+        import jax
+
+        jax.block_until_ready(batches + widx_dev)
         head = dedup.head_for(*src_hw, np.float16)
 
         def run_dedup():
             toks, clss = [], []
-            for b0 in range(0, n_fpad, fb):
-                t4, c4 = dedup.encode(variables, frames_res[b0:b0 + fb])
+            for batch in batches:
+                t4, c4 = dedup.encode(variables, batch)
                 toks.append(t4)
                 clss.append(c4)
             tokens_all = jnp.concatenate(toks, axis=0)
             cls_all = jnp.concatenate(clss, axis=0)
             outs = [head(variables,
-                         jnp.take(tokens_all, jnp.asarray(idx_p[c0:c0 + chunk_windows].reshape(-1)), axis=0),
-                         jnp.take(cls_all, jnp.asarray(idx_p[c0:c0 + chunk_windows].reshape(-1)), axis=0))
-                    for c0 in range(0, pad_to, chunk_windows)]
+                         jnp.take(tokens_all, w, axis=0),
+                         jnp.take(cls_all, w, axis=0))
+                    for w in widx_dev]
             outs[-1].block_until_ready()
 
         run_dedup()

@@ -592,6 +592,14 @@ class Trainer:
         if not hasattr(self, "_eval_forward"):
             model = self.mods["depth_model"]
             self._eval_forward = lambda variables, win: model.apply(variables, win)[("disp", 0)]
+            # unique-frame dedup pipeline (video_inference.DedupWindowForward,
+            # the eval CLIs' default): weights enter encode/head as jit
+            # ARGUMENTS, so the one object serves every epoch's weights
+            # with no retrace.  ENDODAV_NO_DEDUP=1 opts out (checked
+            # inside infer_video_depth).
+            from endodav_tpu.eval.video_inference import dedup_window_forward
+
+            self._eval_dedup = dedup_window_forward(model)
 
         errors, errors_temp = [], []
         pose_lines = []
@@ -602,6 +610,7 @@ class Trainer:
                 chunk_windows=opt.chunk_windows,
                 stitch="device" if getattr(opt, "fast_stitch", False) else "host",
                 variables=self.variables["depth_model"],
+                dedup=self._eval_dedup,
             )
             _, pred_depths = disp_to_depth(disp, opt.min_depth, opt.max_depth)
             pred_depths = np.asarray(pred_depths)

@@ -374,3 +374,41 @@ def test_dedup_scan_trunk_matches_whole_model(monkeypatch):
     dd = infer_video_depth(fwd, frames, image_shape=(28, 28),
                            chunk_windows=2, dedup=fwd.dedup)
     np.testing.assert_allclose(dd, whole, atol=1e-5)
+
+
+def test_dedup_short_clip_no_retrace_across_weight_updates():
+    """Dedup pipeline contract: (a) exact on a short clip (n < INFER_LEN
+    exercises the clamp padding), (b) ONE trace serves different weight
+    trees (variables are jit ARGUMENTS — the trainer's per-epoch eval
+    relies on this), (c) the new weights are actually used."""
+    import jax
+    import jax.numpy as jnp
+
+    from endodav_tpu.eval.video_inference import dedup_window_forward
+    from endodav_tpu.models.endodav import EndoDAV
+
+    m = EndoDAV(image_shape=(28, 28), num_frames=32)
+    v1 = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 28, 28, 3)))
+    v2 = jax.jit(m.init)(jax.random.PRNGKey(9), jnp.zeros((1, 32, 28, 28, 3)))
+    frames = np.random.default_rng(11).integers(0, 255, (5, 32, 32, 3), dtype=np.uint8)
+
+    def vw(v, win):
+        return m.apply(v, win)[("disp", 0)]
+
+    dd = dedup_window_forward(m)
+    out1 = infer_video_depth(vw, frames, image_shape=(28, 28), chunk_windows=2,
+                             variables=v1, dedup=dd)
+    ref1 = infer_video_depth(vw, frames, image_shape=(28, 28), chunk_windows=2,
+                             variables=v1)
+    np.testing.assert_allclose(out1, ref1, atol=1e-5)
+
+    out2 = infer_video_depth(vw, frames, image_shape=(28, 28), chunk_windows=2,
+                             variables=v2, dedup=dd)
+    ref2 = infer_video_depth(vw, frames, image_shape=(28, 28), chunk_windows=2,
+                             variables=v2)
+    np.testing.assert_allclose(out2, ref2, atol=1e-5)
+    assert np.abs(out1 - out2).max() > 1e-6  # new weights actually served
+
+    assert dd._encode_c._cache_size() == 1, "encode retraced on new weights"
+    (head,) = dd._head_cache.values()
+    assert head._cache_size() == 1, "head retraced on new weights"
