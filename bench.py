@@ -232,9 +232,14 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
             run_dedup()
         per_clip = (time.time() - t0) / reps
         result["fps_compute_dedup"] = n_frames / per_clip
+        # same-units comparison: the window path runs pad_to*32 slots at
+        # fps_compute slots/s for this clip
+        win_eff = n_frames / (pad_to * 32 / result["fps_compute"])
+        result["fps_compute_window_effective"] = win_eff
         log(f"[{name}] compute-only dedup (unique-frame encode): "
             f"{result['fps_compute_dedup']:.1f} frames/s for the {n_frames}-frame clip "
-            f"({n_fpad} encodes vs {pad_to * 32} window slots)")
+            f"({n_fpad} encodes vs {pad_to * 32} window slots; window path "
+            f"effective {win_eff:.1f} frames/s)")
     return result
 
 
@@ -263,9 +268,11 @@ def main():
         time.sleep(60)  # transient blips recover fast; real outages don't
 
     # headline: 518 px (BASELINE.json metric).  chunk_windows=4 is the
-    # measured throughput optimum on v5e (222/244/280/241 fps at
-    # cw=2/3/4/5; 6+ OOM); 186 frames -> 8 windows, so chunks divide
-    # evenly and the e2e number carries no padding waste.
+    # measured per-slot throughput optimum on v5e (222/244/280/241 fps
+    # at cw=2/3/4/5; 6+ OOM).  NOTE: 186 frames -> 9 windows (starts
+    # range(0, 186, 22)) -> padded to 12 at cw=4; the dedup default
+    # makes the padding cheap (3 duplicate HEAD chunks, no re-encodes),
+    # and tools/bench_dedup_cw.py sweeps cw/fb for the dedup pipeline.
     h2d, d2h = measure_transfer_rates()
     log(f"[env] measured transfer rates: H2D {h2d} MB/s, D2H {d2h} MB/s")
     headline = bench_config(
