@@ -113,10 +113,10 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
     # skips the ~31% of trunk FLOPs the sliding window's OVERLAP
     # keyframe-carry re-encodes.  ENDODAV_NO_DEDUP=1 restores the
     # window-re-encode path for A/B.
-    import os
+    from endodav_tpu.utils.envflags import env_on
 
     dedup = None
-    if not os.environ.get("ENDODAV_NO_DEDUP"):
+    if not env_on("ENDODAV_NO_DEDUP"):
         dedup = vi.dedup_window_forward(model, variables)
 
     def run_fast():

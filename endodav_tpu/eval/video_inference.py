@@ -443,9 +443,10 @@ def infer_video_depth(
 
     chunk_dtype = np.float32 if stitch == "device" else transfer_dtype
 
-    import os as _os
+    from endodav_tpu.utils.envflags import env_on
+
     use_dedup = (dedup is not None and not sequential and mesh is None
-                 and not _os.environ.get("ENDODAV_NO_DEDUP"))
+                 and not env_on("ENDODAV_NO_DEDUP"))
     if use_dedup:
         dv = variables if variables is not None else dedup.variables
         fb = dedup.batch_frames
