@@ -36,6 +36,16 @@ def main():
     import jax.numpy as jnp
 
     from endodav_tpu.eval import video_inference as vi
+
+    def sync(t):
+        # robust device sync for this environment: block_until_ready has
+        # been observed to return early on the axon tunnel under load
+        # (a no-op while the queue is saturated); materializing a scalar
+        # slice of the LAST output rides the in-order device stream and
+        # genuinely waits (probe: equal to block_until_ready when that
+        # works, correct when it does not).
+        leaf = jax.tree_util.tree_leaves(t)[-1]
+        return np.asarray(jax.numpy.ravel(leaf)[0])
     from endodav_tpu.models import EndoDAV
     from endodav_tpu.models.endodav import _endodav_lora_alpha
     from endodav_tpu.models.lora import merge_lora_params
@@ -69,11 +79,11 @@ def main():
         n_fpad = math.ceil(n / fb) * fb
         batches = [jnp.asarray(rng.uniform(0, 1, (fb, th, tw, 3)).astype(np.float32))
                    for _ in range(n_fpad // fb)]
-        jax.block_until_ready(batches)
+        sync(batches)
 
         def encode_all():
             outs = [dedup.encode(variables, b) for b in batches]
-            jax.block_until_ready(outs[-1])
+            sync(outs[-1])
             return outs
 
         try:
@@ -94,21 +104,21 @@ def main():
     print(f"[dedup-cw {args.config}] best fb={fb} ({enc_s*1e3:.0f} ms)", flush=True)
     tokens_all = jnp.concatenate([t for t, _ in pairs], axis=0)
     cls_all = jnp.concatenate([c for _, c in pairs], axis=0)
-    jax.block_until_ready((tokens_all, cls_all))
+    sync((tokens_all, cls_all))
 
     for cw in args.cw:
         pad_to = math.ceil(nw / cw) * cw
         idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad_to - nw, axis=0)], axis=0)
         widx = [jnp.asarray(idx_p[c0:c0 + cw].reshape(-1))
                 for c0 in range(0, pad_to, cw)]
-        jax.block_until_ready(widx)
+        sync(widx)
         head = dedup.head_for(*src_hw, np.float16)
 
         def run_heads():
             outs = [head(variables,
                          jnp.take(tokens_all, w, axis=0),
                          jnp.take(cls_all, w, axis=0)) for w in widx]
-            outs[-1].block_until_ready()
+            sync(outs[-1])
 
         try:
             run_heads()
