@@ -45,7 +45,11 @@ def main():
         # genuinely waits (probe: equal to block_until_ready when that
         # works, correct when it does not).
         leaf = jax.tree_util.tree_leaves(t)[-1]
-        return np.asarray(jax.numpy.ravel(leaf)[0])
+        # scalar INDEX, not ravel: ravel copies the whole array and XLA
+        # picked a (8,128)-tiled layout for f32[96,518,644,3] that
+        # padded 43x and OOM'd HBM; a multi-axis [0,...,0] index lowers
+        # to a slice of one element.
+        return np.asarray(leaf[(0,) * leaf.ndim])
     from endodav_tpu.models import EndoDAV
     from endodav_tpu.models.endodav import _endodav_lora_alpha
     from endodav_tpu.models.lora import merge_lora_params
