@@ -466,16 +466,19 @@ def infer_video_depth(
         del frames_dev, toks, clss
         head = dedup.head_for(fh, fw, chunk_dtype)
         pending = []
-        for c0 in range(0, pad_to, chunk_windows):
-            widx = jnp.asarray(idx_padded[c0 : c0 + chunk_windows].reshape(-1))
+        # no window padding: the last chunk is TRIMMED to the remainder
+        # (the head jit compiles once per distinct chunk size — a small
+        # compile vs re-running up to cw-1 full dummy windows; the
+        # 186-frame bench clip is 9 windows, which padded to 12 at cw=4)
+        for c0 in range(0, num_windows, chunk_windows):
+            widx = jnp.asarray(idx[c0 : c0 + chunk_windows].reshape(-1))
             pending.append(head(dv, jnp.take(tokens_all, widx, axis=0),
                                 jnp.take(cls_all, widx, axis=0)))
         if stitch == "device":
             return _device_stitch(pending, num_windows, n, fh, fw, transfer_dtype)
         depth_windows = np.concatenate(
             [np.asarray(o, dtype=np.float32) for o in pending], axis=0)
-        depth_windows = depth_windows[: num_windows * INFER_LEN].reshape(
-            num_windows, INFER_LEN, fh, fw)
+        depth_windows = depth_windows.reshape(num_windows, INFER_LEN, fh, fw)
         return _stitch(depth_windows, n)
 
     run = _chunk_fn(forward_windows, chunk_windows, th, tw, fh, fw, chunk_dtype,
