@@ -111,12 +111,11 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
     # unique-frame dedup serving (video_inference.DedupWindowForward):
     # encode each source frame ONCE, gather taps per window — exact, and
     # skips the ~31% of trunk FLOPs the sliding window's OVERLAP
-    # keyframe-carry re-encodes.  ENDODAV_NO_DEDUP=1 restores the
-    # window-re-encode path for A/B.
-    from endodav_tpu.utils.envflags import env_on
-
+    # keyframe-carry re-encodes.  Resolution-aware default (dedup_wins):
+    # on at 518px, off at 224x280; ENDODAV_DEDUP=1 / ENDODAV_NO_DEDUP=1
+    # force either leg for A/B.
     dedup = None
-    if not env_on("ENDODAV_NO_DEDUP"):
+    if vi.dedup_by_default(image_shape):
         dedup = vi.dedup_window_forward(model, variables)
 
     def run_fast():

@@ -218,15 +218,18 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
 
     if model_type == "endodav":
         dedup = None
-        if not env_on("ENDODAV_NO_DEDUP"):
-            # DEFAULT: encode each unique source frame ONCE; the sliding
-            # window's OVERLAP keyframe-carried slots re-enter only the
-            # temporal DPT head (exact — the trunk is strictly per-frame,
-            # metrics device-verified identical).  Saves ~31% of trunk
-            # FLOPs at steady state; 518px e2e A/B +33%
-            # (video_inference.DedupWindowForward, PERFORMANCE.md).
-            from endodav_tpu.eval.video_inference import dedup_window_forward
+        from endodav_tpu.eval.video_inference import (dedup_by_default,
+                                                      dedup_window_forward)
 
+        if dedup_by_default(model.image_shape):
+            # resolution-aware DEFAULT (dedup_wins): encode each unique
+            # source frame ONCE; the sliding window's OVERLAP
+            # keyframe-carried slots re-enter only the temporal DPT head
+            # (exact — the trunk is strictly per-frame, metrics
+            # device-verified identical).  Wins at token-heavy trunk
+            # inputs (518px e2e A/B +33%), loses at 224x280 where
+            # [32]-frame encode batches under-fill the chip
+            # (PERFORMANCE.md "Dedup").
             dedup = dedup_window_forward(model, variables)
         if env_on("ENDODAV_SPLIT_COMPILE") or env_on("ENDODAV_SCAN_TRUNK"):
             from endodav_tpu.eval.video_inference import split_compiled_forward

@@ -39,7 +39,7 @@ from endodav_tpu.ops.resize import resize2d
 
 __all__ = ["window_indices", "keep_aspect_size", "infer_video_depth",
            "infer_video_depth_single_frame", "split_compiled_forward",
-           "dedup_window_forward"]
+           "dedup_window_forward", "dedup_wins", "dedup_by_default"]
 
 
 class DedupWindowForward:
@@ -135,6 +135,29 @@ class DedupWindowForward:
 def dedup_window_forward(model, variables=None, batch_frames: int = INFER_LEN):
     """Build the encode-once/decode-per-window serving pieces (above)."""
     return DedupWindowForward(model, variables, batch_frames)
+
+
+def dedup_wins(image_shape) -> bool:
+    """Resolution-aware default for the dedup pipeline.
+
+    Device sweeps (tools/bench_dedup_cw.py, PERFORMANCE.md "Dedup"):
+    at 518x644 (1702 patch tokens) dedup is +37-53% effective clip rate;
+    at 224x280 (320 tokens) the [32]-frame encode batches under-fill the
+    chip against the window path's 160-slot megabatches and dedup LOSES
+    ~15-25% device-side.  The crossover is batch-fill, which tracks the
+    token count — default dedup on iff the trunk input has >= 512 patch
+    tokens.  `ENDODAV_DEDUP=1` forces it on, `ENDODAV_NO_DEDUP=1` off.
+    """
+    return (image_shape[0] // 14) * (image_shape[1] // 14) >= 512
+
+
+def dedup_by_default(image_shape) -> bool:
+    """The full default rule: resolution gate + both force flags."""
+    from endodav_tpu.utils.envflags import env_on
+
+    if env_on("ENDODAV_NO_DEDUP"):
+        return False
+    return env_on("ENDODAV_DEDUP") or dedup_wins(image_shape)
 
 
 def split_compiled_forward(trunk, make_head):

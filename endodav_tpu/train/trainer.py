@@ -593,13 +593,15 @@ class Trainer:
             model = self.mods["depth_model"]
             self._eval_forward = lambda variables, win: model.apply(variables, win)[("disp", 0)]
             # unique-frame dedup pipeline (video_inference.DedupWindowForward,
-            # the eval CLIs' default): weights enter encode/head as jit
-            # ARGUMENTS, so the one object serves every epoch's weights
-            # with no retrace.  ENDODAV_NO_DEDUP=1 opts out (checked
-            # inside infer_video_depth).
-            from endodav_tpu.eval.video_inference import dedup_window_forward
+            # the eval CLIs' resolution-aware default): weights enter
+            # encode/head as jit ARGUMENTS, so the one object serves
+            # every epoch's weights with no retrace.  Off at 224x280
+            # (dedup_wins) unless ENDODAV_DEDUP=1 forces it.
+            from endodav_tpu.eval.video_inference import (dedup_by_default,
+                                                          dedup_window_forward)
 
-            self._eval_dedup = dedup_window_forward(model)
+            self._eval_dedup = (dedup_window_forward(model)
+                                if dedup_by_default(model.image_shape) else None)
 
         errors, errors_temp = [], []
         pose_lines = []

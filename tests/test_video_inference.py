@@ -325,7 +325,9 @@ def test_dedup_matches_whole_model(monkeypatch):
     whole = infer_video_depth(base_fwd.vw_fn, frames, image_shape=(28, 28),
                               chunk_windows=2, variables=base_fwd.bound_variables)
 
-    monkeypatch.delenv("ENDODAV_NO_DEDUP")  # dedup is the default
+    monkeypatch.delenv("ENDODAV_NO_DEDUP")
+    # tiny test shapes sit under the resolution gate; force dedup on
+    monkeypatch.setenv("ENDODAV_DEDUP", "1")
     fwd = engine.depth_window_forward(m, v, "endodav")
     assert fwd.dedup is not None
     dd = infer_video_depth(fwd.vw_fn, frames, image_shape=(28, 28),
@@ -412,3 +414,22 @@ def test_dedup_short_clip_no_retrace_across_weight_updates():
     assert dd._encode_c._cache_size() == 1, "encode retraced on new weights"
     (head,) = dd._head_cache.values()
     assert head._cache_size() == 1, "head retraced on new weights"
+
+
+def test_dedup_resolution_default(monkeypatch):
+    """The dedup default is resolution-aware (device sweeps,
+    PERFORMANCE.md "Dedup"): on for token-heavy trunk inputs (518x644),
+    off at the reference-default 224x280; both force flags override."""
+    from endodav_tpu.eval.video_inference import dedup_by_default, dedup_wins
+
+    for name in ("ENDODAV_DEDUP", "ENDODAV_NO_DEDUP"):
+        monkeypatch.delenv(name, raising=False)
+    assert dedup_wins((518, 644))
+    assert not dedup_wins((224, 280))
+    assert dedup_by_default((518, 644))
+    assert not dedup_by_default((224, 280))
+    monkeypatch.setenv("ENDODAV_DEDUP", "1")
+    assert dedup_by_default((224, 280))
+    monkeypatch.setenv("ENDODAV_NO_DEDUP", "1")  # NO_DEDUP wins over DEDUP
+    assert not dedup_by_default((518, 644))
+    assert not dedup_by_default((224, 280))
