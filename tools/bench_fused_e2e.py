@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from endodav_tpu.utils.devsync import device_sync
+
 
 def measure(fused: bool, image_shape, chunk_windows, iters: int,
             grad: bool = False, frames: int = 32, encoder: str = "vits"):
@@ -54,11 +56,11 @@ def measure(fused: bool, image_shape, chunk_windows, iters: int,
         chunks = [jnp.asarray(
             rng.uniform(0, 1, (chunk_windows, frames, *image_shape, 3)),
             jnp.bfloat16) for _ in range(iters + 1)]
-        jax.block_until_ready(run(chunks[0]))  # compile
+        device_sync(run(chunks[0]))  # compile
         times = []
         for i in range(iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(chunks[i + 1]))
+            device_sync(run(chunks[i + 1]))
             times.append(time.perf_counter() - t0)
         return times
     finally:

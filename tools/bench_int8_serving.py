@@ -24,6 +24,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402 (needs sys.path)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -90,7 +92,7 @@ def main():
         # fresh jits per mode: the env flag is read at trace time
         run = depth_window_forward(model, variables, "endodav")
         t0 = time.perf_counter()
-        out = jax.block_until_ready(run(chunks[0]))
+        out = device_sync(run(chunks[0]))
         print(f"[{mode}] compile {time.perf_counter()-t0:.1f}s", flush=True)
         # deviation over the FULL chunk (a frame-0 slice would understate
         # artifacts on later frames); one extra transfer in a benchmark
@@ -98,7 +100,7 @@ def main():
         times = []
         for i in range(args.iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(chunks[i + 1]))
+            device_sync(run(chunks[i + 1]))
             times.append(time.perf_counter() - t0)
         ms = statistics.median(times) * 1e3
         results[mode] = ms

@@ -26,6 +26,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402 (needs sys.path)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -99,7 +101,7 @@ def main():
     def timed(label, fn, *a):
         t0 = time.time()
         out = fn(*a)
-        jax.block_until_ready(out)
+        device_sync(out)
         print(f"[vitl] {label} first call (compile+run): {time.time()-t0:.1f}s",
               flush=True)
         return out
@@ -126,11 +128,11 @@ def main():
     # measured composition: trunk -> head, distinct buffers per rep
     xs = [jnp.asarray(rng.uniform(0, 1, (n, ih, iw, 3)).astype(np.float32), dtype)
           for _ in range(args.reps)]
-    jax.block_until_ready(xs)
+    device_sync(xs)
     t0 = time.time()
     for xb in xs:
         disp = head_fn(phd, trunk_fn(pv, xb))
-    jax.block_until_ready(disp)
+    device_sync(disp)
     per = (time.time() - t0) / args.reps
     print(f"[vitl] e2e chunk forward: {per*1e3:.0f} ms -> "
           f"{n/per:.1f} frames/s compute ({args.reps} reps)", flush=True)
@@ -149,7 +151,7 @@ def main():
             taps_d = trunk_fn(pv, xb)
         for _ in range(8):
             disp = head_fn(phd, taps_d)
-        jax.block_until_ready(disp)
+        device_sync(disp)
         clip = time.time() - t0
         print(f"[vitl] dedup clip (6x32 encodes + 8 window heads, 186 frames): "
               f"{clip:.2f} s -> {186/clip:.1f} frames/s effective; "
