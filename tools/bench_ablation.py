@@ -15,6 +15,8 @@ from __future__ import annotations
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402
+
 import argparse
 import os
 import statistics
@@ -26,11 +28,11 @@ import numpy as np
 
 
 def timeit(run, chunks, iters):
-    jax.block_until_ready(run(chunks[0]))
+    device_sync(run(chunks[0]))
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(chunks[i % len(chunks)]))
+        device_sync(run(chunks[i % len(chunks)]))
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
 

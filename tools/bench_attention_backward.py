@@ -16,6 +16,8 @@ from __future__ import annotations
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402
+
 import time
 
 import jax
@@ -35,13 +37,13 @@ def timeit(fn, q, *rest, iters=100):
     device work is strictly serialized."""
     out = fn(q, *rest)
     first = out[0] if isinstance(out, tuple) else out
-    jax.block_until_ready(first)
+    device_sync(first)
     t0 = time.perf_counter()
     state = q
     for _ in range(iters):
         out = fn(state, *rest)
         state = out[0] if isinstance(out, tuple) else out
-    jax.block_until_ready(state)
+    device_sync(state)
     return (time.perf_counter() - t0) / iters * 1e6  # us
 
 

@@ -22,6 +22,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, ".")
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402
+
 from endodav_tpu.kernels.flash_attention import _MASK_VALUE, _forward
 from tools.profile_device import device_profile
 
@@ -223,7 +225,7 @@ def main():
                       ("padded 128-lane slices", pad),
                       ("mxu-denominator mask-free", mxd),
                       ("bf16 softmax chain", b16)):
-        jax.block_until_ready(fn(q, k, v))
+        device_sync(fn(q, k, v))
         rows = device_profile(lambda: fn(q, k, v), top=30)
         tot = sum(ms for name, n_, ms in rows
                   if not name.startswith("jit_") and not name.isdigit())

@@ -21,13 +21,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402
+
 from tools.profile_device import device_profile
 
 B, H, W, C = 15, 256, 320, 3
 
 
 def run_case(label, fn, args):
-    jax.block_until_ready(fn(*args))  # compile
+    device_sync(fn(*args))  # compile
 
     def run():
         return fn(*args)

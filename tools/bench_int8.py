@@ -18,13 +18,19 @@ import time
 import numpy as np
 
 
+def _sync(out):
+    # scalar-index fetch: block_until_ready returns early on a saturated
+    # axon relay (endodav_tpu/utils/devsync.py)
+    return np.asarray(out[(0,) * out.ndim])
+
+
 def bench(fn, *args, reps=20):
     out = fn(*args)
-    out.block_until_ready()
+    _sync(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    out.block_until_ready()
+    _sync(out)
     return (time.time() - t0) / reps
 
 

@@ -17,6 +17,8 @@ import time
 
 sys.path.insert(0, ".")
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,6 +20,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402
+
 
 SHAPES = [
     # (B, H, W, Cin, Cout) — DPT production shapes at 518px serving
@@ -63,11 +65,11 @@ def shifted_dot_conv(x, w):
 
 def timeit(fn, xs, w, reps=6):
     out = fn(xs[0], w)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for i in range(reps):
         out = fn(xs[i % len(xs)], w)
-    jax.block_until_ready(out)
+    device_sync(out)
     return (time.perf_counter() - t0) / reps
 
 

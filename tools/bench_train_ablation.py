@@ -26,6 +26,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402
+
 
 class Opts:
     data_path = "/nonexistent"
@@ -112,11 +114,11 @@ def make_batches(opt, n, rng):
 def timeit(fn, batches, iters):
     import jax
 
-    jax.block_until_ready(fn(batches[0]))
+    device_sync(fn(batches[0]))
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(batches[i + 1]))
+        device_sync(fn(batches[i + 1]))
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
 
@@ -140,7 +142,7 @@ def main():
     # one distinct batch per timed call (relay caching; PERFORMANCE.md)
     host_batches = make_batches(opt, args.iters + 1, rng)
     dev_batches = [jax.device_put(_flatten_bt(b)) for b in host_batches]
-    jax.block_until_ready(dev_batches)
+    device_sync(dev_batches)
     mods, variables = tr.mods, tr.variables
     cfg = tr.loss_cfg
     scales, hw = cfg["scales"], (cfg["height"], cfg["width"])

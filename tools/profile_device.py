@@ -13,6 +13,21 @@ Usage:
 
 from __future__ import annotations
 
+
+def _sync(tree):
+    """Scalar-index fetch of the last leaf: block_until_ready returns
+    early on a saturated axon relay (endodav_tpu/utils/devsync.py), and
+    an early return here would stop the profiler before the device
+    finished, truncating the trace."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(tree)[-1]
+    if not hasattr(leaf, "ndim"):
+        return leaf
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
 import glob
 import gzip
 import json
@@ -48,7 +63,7 @@ def device_profile(fn, top: int | None = 20) -> list[tuple[str, int, float]]:
     with tempfile.TemporaryDirectory() as d:
         with jax.profiler.trace(d):
             out = fn()
-            jax.block_until_ready(out)
+            _sync(out)
         events = _load_trace(d)
     pids = device_pids(events)
     agg: dict[str, list[float]] = {}
@@ -70,7 +85,7 @@ def main():
     w = jnp.asarray(np.random.default_rng(1).standard_normal((4096, 4096)) * 0.01,
                     jnp.bfloat16)
     f = jax.jit(lambda x: x @ w)
-    jax.block_until_ready(f(a))
+    _sync(f(a))
 
     def run():
         x = a

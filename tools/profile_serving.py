@@ -24,6 +24,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -41,11 +43,11 @@ def main():
     rng = np.random.default_rng(0)
     chunks = [jnp.asarray(rng.uniform(0, 1, (cw, 32, *image_shape, 3)), jnp.bfloat16)
               for _ in range(2)]
-    jax.block_until_ready(fwd(chunks[0]))
+    device_sync(fwd(chunks[0]))
 
     d = tempfile.mkdtemp()
     with jax.profiler.trace(d):
-        jax.block_until_ready(fwd(chunks[1]))
+        device_sync(fwd(chunks[1]))
     events = []
     for p in glob.glob(d + "/**/*.trace.json.gz", recursive=True):
         events.extend(json.load(gzip.open(p)).get("traceEvents", []))

@@ -18,6 +18,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from endodav_tpu.utils.devsync import device_sync  # noqa: E402
+
 from tools.bench_train_ablation import Opts, make_batches  # noqa: E402
 from tools.profile_device import device_profile  # noqa: E402
 
@@ -52,7 +54,7 @@ def main():
     rng = np.random.default_rng(0)
     host_batches = make_batches(opt, args.steps + 1, rng)
     dev_batches = [jax.device_put(_flatten_bt(b)) for b in host_batches]
-    jax.block_until_ready(dev_batches)
+    device_sync(dev_batches)
 
     step_fn = tr._step_fn if hasattr(tr, "_step_fn") else tr._build_step(False)
     state = [tr.variables, tr.opt_state, tr.opt_state_0]
@@ -65,7 +67,7 @@ def main():
         return scalars["loss_0"], scalars["loss"]
 
     print("compiling/warmup...", flush=True)
-    jax.block_until_ready(one(dev_batches[0]))
+    device_sync(one(dev_batches[0]))
 
     step_losses = []
 
