@@ -209,10 +209,17 @@ def _tiling_enabled() -> bool:
 
 
 def _lane_window(C: int) -> int:
-    """Lane-window width: starts are 128-aligned, so a tile span that
-    crosses a 128-lane boundary only fits a window strictly wider than
-    the alignment quantum — 2 vregs minimum (C*128 covers C >= 2)."""
-    return max(2, C) * _LANE
+    """Lane-window width: starts are 128-aligned, so the window must
+    cover a tile's x-footprint PLUS up to 127 lanes of alignment slack.
+    A th x tw tile spans ~(tw + 1 + flow-spread) * C lanes — ~54 at the
+    production C=3 shapes — so 2 vregs (256 lanes) suffice for every
+    supported C <= 4 with locality to spare (round 4; was C * 128,
+    which made the stage-2 [wc, pb] masking 50% wider at C=3 for no
+    coverage gain).  Any width is CORRECT — chunks whose footprint
+    misses the window take the exact full fallback (the plan's `ok`
+    test) — so this is purely a masking-cost/fallback-rate tradeoff;
+    ENDODAV_WARP_LW overrides for A/B."""
+    return int(os.environ.get("ENDODAV_WARP_LW", "256"))
 
 
 def _tile_shape(pb, ho, wo):
@@ -278,25 +285,32 @@ def _band_plan(packed, h, pb, wcp=None, lw=None, C=1):
 
 def _ohyt(y0, y1, wy0, wy1, h, pb, row0=0):
     """Weighted y one-hot, built transposed [rows, Pb] from [1, Pb] rows;
-    ``row0`` offsets the iota for banded sub-images.
+    ``row0`` offsets BANDED sub-images — folded into the [1, Pb] index
+    rows (a row-vector subtract) instead of the [rows, Pb] iota (a
+    full-tile add): the VPU mask builds, not the MXU dots, dominate
+    these kernels (round-4 profile), so every [tile]-shaped op counts.
     (int32 iota + int compare: Mosaic has no float iota.)"""
-    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0) + row0
-    return (wy0 * (ioh == y0.astype(jnp.int32))
-            + wy1 * (ioh == y1.astype(jnp.int32)))
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, pb), 0)
+    return (wy0 * (ioh == y0.astype(jnp.int32) - row0)
+            + wy1 * (ioh == y1.astype(jnp.int32) - row0))
+
+
+def _xmask(il, xi, C, l0):
+    """0/1 x-selection mask on the [wc, Pb] lane-window grid: absolute
+    lane al = l0 + sublane selects pixel column w = al // C.  The
+    division is algebraically removed (al // C == x  <=>  al in
+    [x*C, x*C + C)), with l0 folded into the [1, Pb] bound rows — two
+    tile compares + an AND instead of iota-add + div-chain + compare."""
+    if C == 1:
+        return il == xi.astype(jnp.int32) - l0
+    lo = xi.astype(jnp.int32) * C - l0
+    return (il >= lo) & (il <= lo + (C - 1))
 
 
 def _ohxt(x0, x1, wx0, wx1, wc, pb, C, l0=0):
-    """Weighted x one-hot on the [wc, Pb] lane-window grid (absolute lane
-    al = l0 + sublane -> w = al//C)."""
-    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0) + l0
-    sub_w = sub // C if C > 1 else sub
-    return (wx0 * (sub_w == x0.astype(jnp.int32))
-            + wx1 * (sub_w == x1.astype(jnp.int32)))
-
-
-def _chan_mask(wc, pb, C, c, l0=0):
-    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0) + l0
-    return (sub - (sub // C) * C) == c
+    """Weighted x one-hot on the [wc, Pb] lane-window grid."""
+    il = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+    return (wx0 * _xmask(il, x0, C, l0) + wx1 * _xmask(il, x1, C, l0))
 
 
 # ---------------------------------------------------------------- forward
@@ -309,11 +323,15 @@ def _fwd_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, o_ref, *,
     H, WC = img_ref.shape[1], img_ref.shape[2]
 
     def x_stage(rt, wc, l0):
-        t = rt * _ohxt(x0, x1, wx0, wx1, wc, pb, C, l0)
+        il = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+        t = rt * (wx0 * _xmask(il, x0, C, l0) + wx1 * _xmask(il, x1, C, l0))
         if C == 1:
             return jnp.sum(t, axis=0, keepdims=True)
+        # channel of absolute lane (l0 + l) % C == c  <=>  l % C ==
+        # (c - l0) % C: one tile mod + per-channel scalar compares
+        imc = il % C
         return jnp.concatenate(
-            [jnp.sum(t * _chan_mask(wc, pb, C, c, l0), axis=0, keepdims=True)
+            [jnp.sum(t * (imc == (c - l0) % C), axis=0, keepdims=True)
              for c in range(C)], axis=0)
 
     def full():
@@ -346,16 +364,18 @@ def _fwd_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, o_ref, *,
 
 # --------------------------------------------------------------- backward
 
-def _g_t(g, wc, pb, C, l0=0):
+def _g_t(g, wc, pb, C, l0=0, il=None):
     """Expand gᵀ [C, Pb] onto the [wc, Pb] lane-window grid:
-    G[l, p] = g[(l0 + l) % C, p]."""
+    G[l, p] = g[(l0 + l) % C, p] — via one tile mod + scalar-target
+    compares (see `_xmask` note on removing the div chains)."""
     if C == 1:
         return jnp.broadcast_to(g[0:1, :].astype(jnp.float32), (wc, pb))
-    sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0) + l0
-    sub_c = sub - (sub // C) * C
+    if il is None:
+        il = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+    imc = il % C
     acc = None
     for c in range(C):
-        term = g[c:c + 1, :].astype(jnp.float32) * (sub_c == c)
+        term = g[c:c + 1, :].astype(jnp.float32) * (imc == (c - l0) % C)
         acc = term if acc is None else acc + term
     return acc
 
@@ -371,19 +391,18 @@ def _bwd_coord_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, g_ref,
     H, WC = img_ref.shape[1], img_ref.shape[2]
 
     def core(img, rows, row0, wc, l0):
-        ioh = jax.lax.broadcasted_iota(jnp.int32, (rows, pb), 0) + row0
-        oh0 = (ioh == y0.astype(jnp.int32)).astype(jnp.float32)
-        oh1 = (ioh == y1.astype(jnp.int32)).astype(jnp.float32)
+        ior = jax.lax.broadcasted_iota(jnp.int32, (rows, pb), 0)
+        oh0 = (ior == y0.astype(jnp.int32) - row0).astype(jnp.float32)
+        oh1 = (ior == y1.astype(jnp.int32) - row0).astype(jnp.float32)
         r0 = _dot2_onehot(img, oh0, ((0,), (0,)))  # [wc, pb]
         r1 = _dot2_onehot(img, oh1, ((0,), (0,)))
         rt = wy0 * r0 + wy1 * r1
 
-        sub = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0) + l0
-        sub_w = sub // C if C > 1 else sub
-        m0 = (sub_w == x0.astype(jnp.int32)).astype(jnp.float32)
-        m1 = (sub_w == x1.astype(jnp.int32)).astype(jnp.float32)
+        il = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+        m0 = _xmask(il, x0, C, l0).astype(jnp.float32)
+        m1 = _xmask(il, x1, C, l0).astype(jnp.float32)
 
-        g = _g_t(g_ref[0, :, pl.ds(start, pb)], wc, pb, C, l0)
+        g = _g_t(g_ref[0, :, pl.ds(start, pb)], wc, pb, C, l0, il)
         dr = g * (wx0 * m0 + wx1 * m1)
         gr = g * rt
         out = jnp.concatenate([
@@ -413,56 +432,94 @@ def _bwd_coord_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, g_ref,
         core(img_ref[0], H, 0, WC, 0)
 
 
-def _bwd_img_kernel(band_ref, lane_ref, ok_ref, c_ref, g_ref, dimg_ref, *,
-                    C: int, pb: int, banded: bool, lw):
-    """d_img = dot(OHYt [H, Pb], dRt [WC, Pb] contracting Pb) -> [H, WC],
-    accumulated over pixel chunks (banded chunks update only their
-    _BAND-row x lw-lane window)."""
+def _bwd_fused_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, g_ref,
+                      dw_ref, dimg_ref, *, C: int, pb: int, banded: bool, lw):
+    """Coordinate + image grads in ONE kernel (round-4 fusion).
+
+    The two round-3 backward kernels each re-DMA'd the same packed
+    coords, image and cotangent per launch and each rebuilt the same
+    [wc, pb] iota masks (m0/m1), the g expansion and the y one-hots —
+    the VPU mask builds, not the MXU dots, dominate at these shapes.
+    Fused: oh0/oh1 feed BOTH the corner samples r0/r1 (coord grads) and
+    ohyt = wy0*oh0 + wy1*oh1 (image grad), and dr = g*(wx0*m0 + wx1*m1)
+    is simultaneously the x-lerp cotangent (coord grads) and dRt (image
+    grad: dimg += dot(ohyt, drᵀ)).  Outputs: dw [1, 4, Ppad] packed
+    (dwy0, dwy1, dwx0, dwx1) + dimg [1, H, WCp] accumulated over chunks."""
     bi, pi = pl.program_id(0), pl.program_id(1)
     start = pi * pb
     y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
-    H, WC = dimg_ref.shape[1], dimg_ref.shape[2]
-
-    def dr_of(wc, l0):
-        return (_g_t(g_ref[0, :, pl.ds(start, pb)], wc, pb, C, l0)
-                * _ohxt(x0, x1, wx0, wx1, wc, pb, C, l0))
+    H, WC = img_ref.shape[1], img_ref.shape[2]
 
     @pl.when(pi == 0)
     def _init():
         dimg_ref[0] = jnp.zeros((H, WC), dimg_ref.dtype)
+
+    def core(img, rows, row0, wc, l0, dimg_write):
+        ior = jax.lax.broadcasted_iota(jnp.int32, (rows, pb), 0)
+        oh0 = (ior == y0.astype(jnp.int32) - row0).astype(jnp.float32)
+        oh1 = (ior == y1.astype(jnp.int32) - row0).astype(jnp.float32)
+        r0 = _dot2_onehot(img, oh0, ((0,), (0,)))  # [wc, pb]
+        r1 = _dot2_onehot(img, oh1, ((0,), (0,)))
+        rt = wy0 * r0 + wy1 * r1
+
+        il = jax.lax.broadcasted_iota(jnp.int32, (wc, pb), 0)
+        m0 = _xmask(il, x0, C, l0).astype(jnp.float32)
+        m1 = _xmask(il, x1, C, l0).astype(jnp.float32)
+
+        g = _g_t(g_ref[0, :, pl.ds(start, pb)], wc, pb, C, l0, il)
+        dr = g * (wx0 * m0 + wx1 * m1)
+        gr = g * rt
+        dw_ref[0, :, pl.ds(start, pb)] = jnp.concatenate([
+            jnp.sum(dr * r0, axis=0, keepdims=True),
+            jnp.sum(dr * r1, axis=0, keepdims=True),
+            jnp.sum(gr * m0, axis=0, keepdims=True),
+            jnp.sum(gr * m1, axis=0, keepdims=True),
+        ], axis=0)
+        ohyt = wy0 * oh0 + wy1 * oh1
+        dimg_write(_dot3(ohyt, dr, ((1,), (1,))).astype(dimg_ref.dtype))
 
     if banded:
         row0 = pl.multiple_of(band_ref[bi, pi], 8)
 
         @pl.when(ok_ref[bi, pi] != 0)
         def _banded():
-            ohyt = _ohyt(y0, y1, wy0, wy1, _BAND, pb, row0)
             if lw is None:
-                upd = _dot3(ohyt, dr_of(WC, 0), ((1,), (1,)))
-                dimg_ref[0, pl.ds(row0, _BAND), :] += upd.astype(dimg_ref.dtype)
+                def wr(upd):
+                    dimg_ref[0, pl.ds(row0, _BAND), :] += upd
+                core(img_ref[0, pl.ds(row0, _BAND), :], _BAND, row0, WC, 0, wr)
             else:
                 l0 = pl.multiple_of(lane_ref[bi, pi], _LANE)
-                upd = _dot3(ohyt, dr_of(lw, l0), ((1,), (1,)))
-                dimg_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)] += (
-                    upd.astype(dimg_ref.dtype))
+
+                def wr(upd):
+                    dimg_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)] += upd
+                core(img_ref[0, pl.ds(row0, _BAND), pl.ds(l0, lw)],
+                     _BAND, row0, lw, l0, wr)
 
         @pl.when(ok_ref[bi, pi] == 0)
         def _full():
-            ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
-            dimg_ref[0] += _dot3(ohyt, dr_of(WC, 0), ((1,), (1,))).astype(
-                dimg_ref.dtype)
+            def wr(upd):
+                dimg_ref[0] += upd
+            core(img_ref[0], H, 0, WC, 0, wr)
     else:
-        ohyt = _ohyt(y0, y1, wy0, wy1, H, pb)
-        dimg_ref[0] += _dot3(ohyt, dr_of(WC, 0), ((1,), (1,))).astype(
-            dimg_ref.dtype)
+        def wr(upd):
+            dimg_ref[0] += upd
+        core(img_ref[0], H, 0, WC, 0, wr)
 
 
 # ---------------------------------------------------------------- wrapper
 
 def _pick_pb(C, backward=False):
+    """Pixel-chunk width.  Larger chunks amortize the per-chunk fixed
+    work (coord reads, window-plan test, iota builds); the ceiling is
+    the ~dozen [lw, pb] f32 temps the backward holds in VMEM — pb=256
+    for the C=3 backward was tried in round 4 and overflowed scoped
+    vmem by 680K on device.  ENDODAV_WARP_PB overrides for A/B."""
+    env = os.environ.get("ENDODAV_WARP_PB")
+    if env:
+        return int(env)
     if C <= 2:
         return 512
-    return 128 if backward else 256  # bwd holds ~9 [WC, pb] f32 temps
+    return 128 if backward else 256
 
 
 def _cspec(ppad):
@@ -481,17 +538,35 @@ def _grid_tile(out_sp, pb, h):
     return _tile_shape(pb, out_sp[0], out_sp[1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def grid_sample_mm(img, fx, fy, zeros_mode: bool = False,
-                   align_corners: bool = True):
+                   align_corners: bool = True, img_grad: bool = True,
+                   img_tile: int = 1):
     """Bilinear sample img[B,H,W,C] at fractional pixel coords fx, fy
-    [B, Ho, Wo] (already unnormalized).  align_corners is carried only so
-    the vjp can recompute identically; coords are already resolved."""
-    return _mm_forward(img, fx, fy, zeros_mode)
+    [B*img_tile, Ho, Wo] (already unnormalized).  align_corners is
+    carried only so the vjp can recompute identically; coords are
+    already resolved.
+
+    img_grad (static): when True the backward runs the FUSED kernel
+    producing coordinate AND image grads in one launch (round-4); when
+    False it runs the coord-only kernel and returns ZERO image grads —
+    only legal when the caller knows the image carries no gradient
+    (input frames in the training losses).
+
+    img_tile (static): coordinate-grid batch element bi samples image
+    bi // img_tile — several same-image warps (e.g. the per-scale flow
+    fields of the monodepth losses) share one launch without tiling the
+    image in HBM; ordered so consecutive grid steps reuse the resident
+    image block (Pallas elides the repeat DMA).  Requires
+    img_grad=False (multiple grid elements would race on one d_img
+    block otherwise)."""
+    return _mm_forward(img, fx, fy, zeros_mode, img_tile)
 
 
-def _mm_forward(img, fx, fy, zeros_mode):
-    b, h, w, c = img.shape
+def _mm_forward(img, fx, fy, zeros_mode, img_tile=1):
+    b_img, h, w, c = img.shape
+    bg = fx.shape[0]
+    assert bg == b_img * img_tile, (bg, b_img, img_tile)
     out_sp = fx.shape[1:]
     pb = _pick_pb(c)
     tile = _grid_tile(out_sp, pb, h)
@@ -501,7 +576,7 @@ def _mm_forward(img, fx, fy, zeros_mode):
     packed, p, ppad = _pack_coords(fx, fy, h, w, zeros_mode, pb)
     # f32 once here instead of a per-chunk in-kernel cast (the image is
     # VMEM-resident across the chunk grid; the cast ran every chunk).
-    imgf = img.reshape(b, h, w * c).astype(jnp.float32)
+    imgf = img.reshape(b_img, h, w * c).astype(jnp.float32)
     banded = _banding_enabled(h)
     wc = w * c
     lw = _lane_window(c) if (tile and wc > _lane_window(c)) else None
@@ -515,13 +590,14 @@ def _mm_forward(img, fx, fy, zeros_mode):
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, C=c, pb=pb, banded=banded, lw=lw),
-        out_shape=jax.ShapeDtypeStruct((b, c, ppad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bg, c, ppad), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(b, ppad // pb),
+            grid=(bg, ppad // pb),
             in_specs=[
                 _cspec(ppad),
-                pl.BlockSpec((1, h, wcp), lambda bi, pi, *_: (bi, 0, 0),
+                pl.BlockSpec((1, h, wcp),
+                             lambda bi, pi, *_: (bi // img_tile, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, c, ppad), lambda bi, pi, *_: (bi, 0, 0),
@@ -535,22 +611,26 @@ def _mm_forward(img, fx, fy, zeros_mode):
     if tile:
         out = _untile_cols(out, *tile, out_sp[0], out_sp[1])
     # [B, C, P] -> [B, *out_sp, C]
-    return jnp.moveaxis(out, 1, 2).reshape(b, *out_sp, c)
+    return jnp.moveaxis(out, 1, 2).reshape(bg, *out_sp, c)
 
 
-def _mm_fwd(img, fx, fy, zeros_mode, align_corners):
-    return _mm_forward(img, fx, fy, zeros_mode), (img, fx, fy)
+def _mm_fwd(img, fx, fy, zeros_mode, align_corners, img_grad, img_tile):
+    return _mm_forward(img, fx, fy, zeros_mode, img_tile), (img, fx, fy)
 
 
-def _mm_bwd(zeros_mode, align_corners, res, g):
+def _mm_bwd(zeros_mode, align_corners, img_grad, img_tile, res, g):
     img, fx, fy = res
-    b, h, w, c = img.shape
+    if img_grad and img_tile != 1:
+        raise ValueError("img_tile > 1 requires img_grad=False (grid "
+                         "elements sharing an image would race on d_img)")
+    b_img, h, w, c = img.shape
+    b = fx.shape[0]
     out_sp2 = fx.shape[1:]
     pb = _pick_pb(c, backward=True)
     tile = _grid_tile(out_sp2, pb, h)
     fxk, fyk = (_tile_cols(fx, *tile), _tile_cols(fy, *tile)) if tile else (fx, fy)
     packed, p, ppad = _pack_coords(fxk, fyk, h, w, zeros_mode, pb)
-    imgf = img.reshape(b, h, w * c).astype(jnp.float32)
+    imgf = img.reshape(b_img, h, w * c).astype(jnp.float32)
     gt = jnp.moveaxis(g.reshape(b, p, c).astype(jnp.float32), 2, 1)  # [B, C, P]
     if tile:
         gt = _tile_cols(gt.reshape(b, c, *out_sp2), *tile)
@@ -570,43 +650,49 @@ def _mm_bwd(zeros_mode, align_corners, res, g):
     grid = (b, ppad // pb)
     gspec = pl.BlockSpec((1, c, ppad), lambda bi, pi, *_: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
-    ispec = pl.BlockSpec((1, h, wcp), lambda bi, pi, *_: (bi, 0, 0),
+    ispec = pl.BlockSpec((1, h, wcp),
+                         lambda bi, pi, *_: (bi // img_tile, 0, 0),
                          memory_space=pltpu.VMEM)
+    dwspec = pl.BlockSpec((1, 4, ppad), lambda bi, pi, *_: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
 
-    # coordinate-weight grads (skipped by XLA DCE when the grid needs no
-    # grad): packed rows (dwy0, dwy1, dwx0, dwx1)
-    dw = pl.pallas_call(
-        functools.partial(_bwd_coord_kernel, C=c, pb=pb, banded=banded, lw=lw),
-        out_shape=jax.ShapeDtypeStruct((b, 4, ppad), jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=grid,
-            in_specs=[_cspec(ppad), ispec, gspec],
-            out_specs=pl.BlockSpec((1, 4, ppad), lambda bi, pi, *_: (bi, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-    )(band, lane, ok, packed, imgf, gt)
-
-    # image grad (skipped by XLA DCE when img is input data)
-    dimg = pl.pallas_call(
-        functools.partial(_bwd_img_kernel, C=c, pb=pb, banded=banded, lw=lw),
-        out_shape=jax.ShapeDtypeStruct((b, h, wcp), jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=grid,
-            in_specs=[_cspec(ppad), gspec],
-            out_specs=pl.BlockSpec((1, h, wcp), lambda bi, pi, *_: (bi, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-    )(band, lane, ok, packed, gt)
-    if wcp != wc:
-        dimg = dimg[:, :, :wc]
+    if img_grad:
+        # fused: coordinate-weight grads + accumulated image grad, one
+        # launch sharing the coords/img/cotangent DMAs and mask builds
+        dw, dimg = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, C=c, pb=pb, banded=banded,
+                              lw=lw),
+            out_shape=(jax.ShapeDtypeStruct((b, 4, ppad), jnp.float32),
+                       jax.ShapeDtypeStruct((b, h, wcp), jnp.float32)),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=[_cspec(ppad), ispec, gspec],
+                out_specs=(dwspec,
+                           pl.BlockSpec((1, h, wcp),
+                                        lambda bi, pi, *_: (bi, 0, 0),
+                                        memory_space=pltpu.VMEM)),
+            ),
+            compiler_params=params,
+        )(band, lane, ok, packed, imgf, gt)
+        if wcp != wc:
+            dimg = dimg[:, :, :wc]
+        dimg = dimg.reshape(img.shape).astype(img.dtype)
+    else:
+        dw = pl.pallas_call(
+            functools.partial(_bwd_coord_kernel, C=c, pb=pb, banded=banded,
+                              lw=lw),
+            out_shape=jax.ShapeDtypeStruct((b, 4, ppad), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=[_cspec(ppad), ispec, gspec],
+                out_specs=dwspec,
+            ),
+            compiler_params=params,
+        )(band, lane, ok, packed, imgf, gt)
+        dimg = jnp.zeros(img.shape, img.dtype)  # caller declared img gradless
 
     dw = dw[:, :, :p]
     if tile:
@@ -631,7 +717,7 @@ def _mm_bwd(zeros_mode, align_corners, res, g):
         d_fy = (dwy1 - dwy0).reshape(out_sp)
     d_fx = d_fx.astype(fx.dtype)  # cotangents must match primal dtypes
     d_fy = d_fy.astype(fy.dtype)
-    return dimg.reshape(img.shape).astype(img.dtype), d_fx, d_fy
+    return dimg, d_fx, d_fy
 
 
 grid_sample_mm.defvjp(_mm_fwd, _mm_bwd)
@@ -650,9 +736,8 @@ def _splat_kernel(band_ref, lane_ref, ok_ref, c_ref, occ_ref, *, H: int,
     Wp = occ_ref.shape[2]
 
     def bt_of(w_lanes, l0):
-        iow = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, pb), 0) + l0
-        return (wx0 * (iow == x0.astype(jnp.int32))
-                + wx1 * (iow == x1.astype(jnp.int32)))  # [w_lanes, pb]
+        # [w_lanes, pb]; l0 folded into the index rows (_ohxt note)
+        return _ohxt(x0, x1, wx0, wx1, w_lanes, pb, 1, l0)
 
     @pl.when(pi == 0)
     def _init():

@@ -1,6 +1,7 @@
 from .resize import interp_matrix, resize2d, resize_nchw
 from .sampling import (
     flow_consistency,
+    flow_to_grid,
     flow_warp,
     forward_splat_occupancy,
     grid_sample,
@@ -12,6 +13,7 @@ __all__ = [
     "resize2d",
     "resize_nchw",
     "flow_consistency",
+    "flow_to_grid",
     "flow_warp",
     "forward_splat_occupancy",
     "grid_sample",

@@ -23,6 +23,7 @@ from endodav_tpu.utils.envflags import env_on
 
 __all__ = [
     "grid_sample",
+    "flow_to_grid",
     "flow_warp",
     "forward_splat_occupancy",
     "occlusion_mask_backward",
@@ -57,10 +58,20 @@ def grid_sample(
     grid: jnp.ndarray,
     padding_mode: str = "border",
     align_corners: bool = True,
+    img_grad: bool = True,
+    img_tile: int = 1,
 ) -> jnp.ndarray:
     """Bilinear sampling with torch `grid_sample` semantics.
 
-    img:  [B, H, W, C]; grid: [B, Ho, Wo, 2] with normalized (x, y) in [-1, 1].
+    img:  [B, H, W, C]; grid: [B*img_tile, Ho, Wo, 2] with normalized
+    (x, y) in [-1, 1].
+
+    img_grad=False declares the image gradient-free (input frames): the
+    TPU kernel backward then skips the image-grad computation and
+    returns ZERO d_img — only set it when that is true.  img_tile > 1
+    batches several same-image warps into one kernel launch: grid batch
+    element bi samples img[bi // img_tile] (requires img_grad=False).
+    Both are performance hints; results are identical.
 
     Integer images are supported: gathered corners are converted to f32
     *after* the gather and the blend returned in f32 (bilinear blending
@@ -91,8 +102,14 @@ def grid_sample(
         from endodav_tpu.kernels.warp_matmul import grid_sample_mm
 
         src = img.astype(jnp.float32) if integer_img else img
-        out = grid_sample_mm(src, fx, fy, padding_mode == "zeros", align_corners)
+        out = grid_sample_mm(src, fx, fy, padding_mode == "zeros",
+                             align_corners, img_grad, img_tile)
         return out if integer_img else out.astype(img.dtype)
+
+    if img_tile != 1:  # XLA fallback: materialize the shared images
+        img = jnp.repeat(img, img_tile, axis=0)
+        if not img_grad:
+            img = jax.lax.stop_gradient(img)
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -117,19 +134,30 @@ def grid_sample(
     return out.astype(jnp.float32) if integer_img else out.astype(img.dtype)
 
 
-def flow_warp(src: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "border") -> jnp.ndarray:
-    """Warp ``src`` by a pixel-displacement field (SpatialTransformer parity).
-
-    src: [B, H, W, C]; flow: [B, H, W, 2] with channels (dy, dx) — the
-    reference stacks its sampling grid as (y, x) (utils/layers.py:398-401).
-    """
-    b, h, w, _ = src.shape
+def flow_to_grid(flow: jnp.ndarray) -> jnp.ndarray:
+    """Pixel-displacement field [B, H, W, 2] (dy, dx) -> normalized
+    `grid_sample` grid (x, y), align_corners=True convention — the grid
+    construction half of `flow_warp`, exposed so callers can batch
+    several flow warps into one `grid_sample` launch."""
+    _, h, w, _ = flow.shape
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype), indexing="ij")
     ny = yy[None] + flow[..., 0]
     nx = xx[None] + flow[..., 1]
     gx = 2.0 * (nx / (w - 1) - 0.5)
     gy = 2.0 * (ny / (h - 1) - 0.5)
-    return grid_sample(src, jnp.stack([gx, gy], axis=-1), padding_mode=padding_mode)
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def flow_warp(src: jnp.ndarray, flow: jnp.ndarray, padding_mode: str = "border",
+              img_grad: bool = True, img_tile: int = 1) -> jnp.ndarray:
+    """Warp ``src`` by a pixel-displacement field (SpatialTransformer parity).
+
+    src: [B, H, W, C]; flow: [B*img_tile, H, W, 2] with channels (dy, dx)
+    — the reference stacks its sampling grid as (y, x)
+    (utils/layers.py:398-401).  img_grad / img_tile as in `grid_sample`.
+    """
+    return grid_sample(src, flow_to_grid(flow), padding_mode=padding_mode,
+                       img_grad=img_grad, img_tile=img_tile)
 
 
 def forward_splat_occupancy(coords_xy: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
