@@ -37,12 +37,35 @@ from endodav_tpu.geometry import (
     smooth_loss,
     transformation_from_parameters,
 )
-from endodav_tpu.ops import flow_consistency, flow_warp, grid_sample, occlusion_mask_backward
+from endodav_tpu.ops import (flow_consistency, flow_to_grid, flow_warp,
+                             grid_sample, occlusion_mask_backward)
 from endodav_tpu.ops.resize import resize2d
 
 __all__ = ["forward_flow_nets", "position_phase_loss", "main_phase", "validation_ncc"]
 
 FRAME_IDS = (0, -1, 1)
+
+
+def _stack_sf(out, key, scales):
+    """Stack out[(key, "high", s, f_i)] over frames and scales onto the
+    batch axis -> [2*B*n_s, H, W, C], ordered (f_i, batch, scale) with
+    scale INNERMOST: grid element bi = (f*B + t)*n_s + s, so all scales
+    of one (frame, clip-item) are consecutive — exactly the layout
+    `grid_sample(..., img_tile=n_s)` wants for resident-image reuse."""
+    parts = []
+    for f_i in (-1, 1):
+        stacked = jnp.stack([out[(key, "high", s, f_i)] for s in scales], axis=1)
+        parts.append(stacked.reshape(-1, *stacked.shape[2:]))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _unstack_sf(out, key, arr, scales):
+    """Inverse of `_stack_sf`'s ordering: write out[(key, s, f_i)]."""
+    n_s = len(scales)
+    arr = arr.reshape(2, -1, n_s, *arr.shape[1:])
+    for fi_idx, f_i in enumerate((-1, 1)):
+        for s_idx, s in enumerate(scales):
+            out[(key, s, f_i)] = arr[fi_idx, :, s_idx]
 
 
 def _apply(mod, variables, *args, train=False, **kw):
@@ -64,6 +87,7 @@ def forward_flow_nets(mods, variables, batch, scales, hw, train_position: bool, 
     H, W = hw
     out: dict[Any, jnp.ndarray] = {}
     new_stats = {}
+    n_s = len(scales)
     for f_i in (-1, 1):
         fwd_in = jnp.concatenate([batch[("color_aug", f_i, 0)], batch[("color_aug", 0, 0)]], axis=-1)
         rev_in = jnp.concatenate([batch[("color_aug", 0, 0)], batch[("color_aug", f_i, 0)]], axis=-1)
@@ -78,18 +102,28 @@ def forward_flow_nets(mods, variables, batch, scales, hw, train_position: bool, 
 
         for s in scales:
             out[("position", s, f_i)] = pos_f[("position", s)]
-            hi = resize2d(pos_f[("position", s)], (H, W), "bilinear", align_corners=True)
-            out[("position", "high", s, f_i)] = hi
-            out[("registration", s, f_i)] = flow_warp(batch[("color", f_i, 0)], hi)
-
+            out[("position", "high", s, f_i)] = resize2d(
+                pos_f[("position", s)], (H, W), "bilinear", align_corners=True)
             out[("position_reverse", s, f_i)] = pos_r[("position", s)]
-            hi_r = resize2d(pos_r[("position", s)], (H, W), "bilinear", align_corners=True)
-            out[("position_reverse", "high", s, f_i)] = hi_r
-            mask, occ_map = occlusion_mask_backward(hi_r)
-            out[("occu_mask_backward", s, f_i)] = mask
-            out[("occu_map_backward", s, f_i)] = occ_map
-            out[("occu_map_bidirection", s, f_i)] = flow_consistency(hi, hi_r)
+            out[("position_reverse", "high", s, f_i)] = resize2d(
+                pos_r[("position", s)], (H, W), "bilinear", align_corners=True)
 
+    # Batched warps (round 4): every (scale, frame) pair warps at full
+    # resolution, so the reference's 8-iteration warp loop collapses to
+    # ONE kernel launch per warp kind — the registration warps share one
+    # source image across scales (img_tile), and the splat / consistency
+    # warps stack on the batch axis.  Per-element math is unchanged.
+    his = _stack_sf(out, "position", scales)             # [2*B*n_s, H, W, 2]
+    hirs = _stack_sf(out, "position_reverse", scales)
+    src = jnp.concatenate([batch[("color", -1, 0)], batch[("color", 1, 0)]], axis=0)
+    _unstack_sf(out, "registration",
+                flow_warp(src, his, img_grad=False, img_tile=n_s), scales)
+    masks, occ_maps = occlusion_mask_backward(hirs)
+    _unstack_sf(out, "occu_mask_backward", masks, scales)
+    _unstack_sf(out, "occu_map_backward", occ_maps, scales)
+    _unstack_sf(out, "occu_map_bidirection", flow_consistency(his, hirs), scales)
+
+    for f_i in (-1, 1):
         t_in = jnp.concatenate([out[("registration", 0, f_i)], batch[("color", 0, 0)]], axis=-1)
         t_feats, bs = _apply(mods["transform_encoder"], variables["transform_encoder"], t_in, train=train_transform)
         if bs is not None:
@@ -105,21 +139,35 @@ def forward_flow_nets(mods, variables, batch, scales, hw, train_position: bool, 
 
 
 def position_phase_loss(outputs, batch, scales, position_smoothness: float, use_ssim: bool = True):
-    """compute_losses_0 (trainer:697-724)."""
+    """compute_losses_0 (trainer:697-724).
+
+    The full-res registration-reprojection (SSIM) chain is batched over
+    (f_i, scale) like main_phase's loss terms (round 4); the per-scale
+    smooth_loss runs at each scale's own resolution and stays a loop."""
+    n_s = len(scales)
+    reg5 = jnp.stack(
+        [jnp.stack([outputs[("registration", s, f_i)] for s in scales], axis=1)
+         for f_i in (-1, 1)])  # [2, B, n_s, H, W, 3]
+    ref5 = jax.lax.stop_gradient(jnp.stack(
+        [jnp.stack([outputs[("refined", s, f_i)] for s in scales], axis=1)
+         for f_i in (-1, 1)]))
+    occu5 = jax.lax.stop_gradient(jnp.stack(
+        [outputs[("occu_mask_backward", 0, f_i)]
+         for f_i in (-1, 1)]))[:, :, None]
+    bt = reg5.shape[1]
+    rep5 = reprojection_loss(
+        reg5.reshape(-1, *reg5.shape[3:]), ref5.reshape(-1, *ref5.shape[3:]),
+        use_ssim).reshape(2, bt, n_s, *reg5.shape[3:5], 1)
+    l_reg_fs = ((rep5 * occu5).sum(axis=(1, 3, 4, 5))
+                / occu5.sum(axis=(1, 3, 4, 5)))  # [2, n_s]
+
     total = 0.0
-    for s in scales:
+    for si, s in enumerate(scales):
         color = batch[("color", 0, s)]
         loss_smooth = 0.0
-        loss_reg = 0.0
         for f_i in (-1, 1):
-            occu = jax.lax.stop_gradient(outputs[("occu_mask_backward", 0, f_i)])
             loss_smooth += smooth_loss(outputs[("position", s, f_i)], color)
-            rep = reprojection_loss(
-                outputs[("registration", s, f_i)],
-                jax.lax.stop_gradient(outputs[("refined", s, f_i)]),
-                use_ssim,
-            )
-            loss_reg += (rep * occu).sum() / occu.sum()
+        loss_reg = l_reg_fs[:, si].sum()
         total += loss_reg / 2.0 + position_smoothness * (loss_smooth / 2.0) / (2 ** s)
     return total / len(scales)
 
@@ -179,7 +227,14 @@ def main_phase(mods, variables, batch, cfg, temporal_weight=1.0, dash_phase2: bo
     else:
         cam_K, inv_K = batch[("K", 0)], batch[("inv_K", 0)]
 
-    # image synthesis + temporal depth errors (trainer:808-898)
+    # image synthesis + temporal depth errors (trainer:808-898).
+    # Round-4 batching: the geometry (backproject/project/rigid flow) is
+    # cheap VPU math and stays per-(s, f_i); the EXPENSIVE parts — the
+    # color synthesis warps (8x same-source grid_sample) and the 16
+    # temporal depth warps — collapse into one kernel launch each
+    # (img_tile for the shared color frames; batch-axis stacking for the
+    # per-(s, f_i) depth maps).  Per-element results are unchanged.
+    src_depth_of = {}
     for s in scales:
         disp = outputs[("disp", s)]
         disp_full = resize2d(disp, (H, W), "bilinear", align_corners=True)
@@ -190,63 +245,134 @@ def main_phase(mods, variables, batch, cfg, temporal_weight=1.0, dash_phase2: bo
             T_mat = outputs[("cam_T_cam", 0, f_i)]
             pix, src_depths = project_3d(points, cam_K, T_mat, H, W)
             outputs[("sample", f_i, s)] = pix
-            outputs[("color", f_i, s)] = grid_sample(
-                batch[("color", f_i, 0)], pix, padding_mode="border", align_corners=True
-            )
+            src_depth_of[(s, f_i)] = src_depths
             outputs[("position_depth", s, f_i)] = rigid_flow(points, cam_K, T_mat, H, W)
 
-            # cross-frame depth reprojection error (trainer:871-885)
+    # batched color synthesis: one launch, source frames shared across
+    # scales (grid order (f_i, t, s) — see _stack_sf)
+    grids = []
+    for f_i in (-1, 1):
+        g = jnp.stack([outputs[("sample", f_i, s)] for s in scales], axis=1)
+        grids.append(g.reshape(-1, H, W, 2))
+    src = jnp.concatenate([batch[("color", -1, 0)], batch[("color", 1, 0)]], axis=0)
+    col = grid_sample(src, jnp.concatenate(grids, axis=0), padding_mode="border",
+                      align_corners=True, img_grad=False, img_tile=len(scales))
+    col = col.reshape(2, -1, len(scales), H, W, col.shape[-1])
+    col5 = col  # kept stacked for the batched loss terms below
+    for fi_idx, f_i in enumerate((-1, 1)):
+        for s_idx, s in enumerate(scales):
+            outputs[("color", f_i, s)] = col[fi_idx, :, s_idx]
+
+    # batched temporal depth warps: cross-frame reprojection samples
+    # (trainer:871-885) and flow-warped depths (trainer:887-898) are all
+    # zeros-mode C=1 warps at [B*T-1, H, W] — one launch for all 16,
+    # with the FUSED backward kernel (depth needs both grads)
+    dep_imgs, dep_grids, metas = [], [], []
+    for s in scales:
+        depth = outputs[("depth", 0, s)]
+        for f_i in (-1, 1):
+            pix = outputs[("sample", f_i, s)]
             if f_i == 1:
-                tgt_depth, src_coords = depth[1:], pix[:-1]
-                src_depth = src_depths[:-1].reshape(tgt_depth.shape)
+                dep_imgs.append(depth[1:])
+                dep_grids.append(pix[:-1])
             else:
-                tgt_depth, src_coords = depth[:-1], pix[1:]
-                src_depth = src_depths[1:].reshape(tgt_depth.shape)
-            sampled = grid_sample(tgt_depth, src_coords, padding_mode="zeros", align_corners=True)
+                dep_imgs.append(depth[:-1])
+                dep_grids.append(pix[1:])
+            metas.append(("reproj", s, f_i))
+    for s in scales:
+        depth = outputs[("depth", 0, s)]
+        for f_i in (-1, 1):
+            hi = outputs[("position", "high", s, f_i)]
+            if f_i == 1:
+                dep_imgs.append(depth[:-1])
+                dep_grids.append(flow_to_grid(hi[:-1]))
+            else:
+                dep_imgs.append(depth[1:])
+                dep_grids.append(flow_to_grid(hi[1:]))
+            metas.append(("flow", s, f_i))
+    sampled_all = grid_sample(
+        jnp.concatenate(dep_imgs, axis=0), jnp.concatenate(dep_grids, axis=0),
+        padding_mode="zeros", align_corners=True,
+    )
+    for (kind, s, f_i), sampled in zip(metas, jnp.split(sampled_all, len(metas), axis=0)):
+        if kind == "reproj":
+            src_depths = src_depth_of[(s, f_i)]
+            src_depth = (src_depths[:-1] if f_i == 1 else src_depths[1:]).reshape(sampled.shape)
             outputs[("reproj_depth_error", s, f_i)] = _masked_mean(
                 jnp.abs(src_depth - sampled), sampled > 1e-3
             )
-
-            # flow-warped depth error (trainer:887-898)
-            if f_i == 1:
-                origin, flow_map, fwd = depth[:-1], outputs[("position", "high", s, f_i)][:-1], depth[1:]
-            else:
-                origin, flow_map, fwd = depth[1:], outputs[("position", "high", s, f_i)][1:], depth[:-1]
-            warp_depth = flow_warp(origin, flow_map, padding_mode="zeros")
+        else:
+            depth = outputs[("depth", 0, s)]
+            fwd = depth[1:] if f_i == 1 else depth[:-1]
             outputs[("flow_depth_error", s, f_i)] = _masked_mean(
-                jnp.abs(warp_depth - fwd), warp_depth > 1e-3
+                jnp.abs(sampled - fwd), sampled > 1e-3
             )
 
     # losses (trainer:913-971); temporal_weight gates the
-    # depth-consistency terms (trainer:950, 1 when tuning temporal LoRA)
+    # depth-consistency terms (trainer:950, 1 when tuning temporal LoRA).
+    # Round-4 batching: the reprojection (SSIM), transform-constraint and
+    # smooth_bright chains are all FULL-RES per (scale, frame) — the
+    # reference's 8-iteration loop lowers them as ~hundreds of small
+    # fusions (fwd+bwd); stacking (f_i, scale) on leading axes computes
+    # each chain once on [2, B, n_s, H, W, C] and reduces per (f_i, s),
+    # identical math per element (the per-(s, f_i) sums only reassociate).
     losses = {}
     total = 0.0
-    for s in scales:
+    n_s = len(scales)
+    bt = col.shape[1]
+
+    def stack5(key_of):
+        return jnp.stack(
+            [jnp.stack([key_of(s, f_i) for s in scales], axis=1)
+             for f_i in (-1, 1)])  # [2, B, n_s, H, W, C]
+
+    refined5 = stack5(lambda s, f: outputs[("refined", s, f)])
+    trans5 = stack5(lambda s, f: outputs[("transform", "high", s, f)])
+    reg5 = jax.lax.stop_gradient(
+        stack5(lambda s, f: outputs[("registration", s, f)]))
+    reg0_5 = jax.lax.stop_gradient(jnp.stack(
+        [outputs[("registration", 0, f_i)] for f_i in (-1, 1)]))[:, :, None]
+    occu5 = jax.lax.stop_gradient(jnp.stack(
+        [outputs[("occu_mask_backward", 0, f_i)]
+         for f_i in (-1, 1)]))[:, :, None]  # [2, B, 1, H, W, 1]
+
+    def flat(a):
+        return a.reshape(-1, *a.shape[3:])
+
+    rep5 = reprojection_loss(flat(col5), flat(refined5), use_ssim).reshape(
+        2, bt, n_s, H, W, 1)
+    occ_den = occu5.sum(axis=(1, 3, 4, 5))                       # [2, 1]
+    l_rep_fs = (rep5 * occu5).sum(axis=(1, 3, 4, 5)) / occ_den   # [2, n_s]
+    l_trans_fs = (jnp.abs(refined5 - reg0_5).mean(-1, keepdims=True)
+                  * occu5).sum(axis=(1, 3, 4, 5)) / occ_den
+    # smooth_bright (geometry/losses.py:66), batched: target - pred with
+    # target = color0, pred = stop(registration) — per-(f_i, s) sums
+    color0 = batch[("color", 0, 0)][None, :, None]
+    residue = color0 - reg5
+    gtx = jnp.abs(trans5[..., :, :-1, :] - trans5[..., :, 1:, :]).mean(-1, keepdims=True)
+    gty = jnp.abs(trans5[..., :-1, :, :] - trans5[..., 1:, :, :]).mean(-1, keepdims=True)
+    grx = jnp.abs(residue[..., :, :-1, :] - residue[..., :, 1:, :]).mean(-1, keepdims=True)
+    gry = jnp.abs(residue[..., :-1, :, :] - residue[..., 1:, :, :]).mean(-1, keepdims=True)
+    mask_x = occu5[..., :, :-1, :]
+    mask_y = occu5[..., :-1, :, :]
+    l_cvt_fs = ((gtx * jnp.exp(-grx) * mask_x).sum(axis=(1, 3, 4, 5))
+                / mask_x.sum(axis=(1, 3, 4, 5))
+                + (gty * jnp.exp(-gry) * mask_y).sum(axis=(1, 3, 4, 5))
+                / mask_y.sum(axis=(1, 3, 4, 5)))                 # [2, n_s]
+
+    for si, s in enumerate(scales):
         color = batch[("color", 0, s)]
         disp = outputs[("disp", s)]
         if disp.shape[1:3] != color.shape[1:3]:
             disp = resize2d(disp, color.shape[1:3], "bilinear", align_corners=True)
 
-        l_rep = l_trans = l_cvt = l_dr = l_df = 0.0
-        for f_i in (-1, 1):
-            occu = jax.lax.stop_gradient(outputs[("occu_mask_backward", 0, f_i)])
-            l_rep += (
-                reprojection_loss(outputs[("color", f_i, s)], outputs[("refined", s, f_i)], use_ssim) * occu
-            ).sum() / occu.sum()
-            l_trans += (
-                jnp.abs(
-                    outputs[("refined", s, f_i)] - jax.lax.stop_gradient(outputs[("registration", 0, f_i)])
-                ).mean(-1, keepdims=True)
-                * occu
-            ).sum() / occu.sum()
-            l_cvt += smooth_bright(
-                outputs[("transform", "high", s, f_i)],
-                batch[("color", 0, 0)],
-                jax.lax.stop_gradient(outputs[("registration", s, f_i)]),
-                occu,
-            )
-            l_dr += outputs[("reproj_depth_error", s, f_i)]
-            l_df += outputs[("flow_depth_error", s, f_i)]
+        l_rep = l_rep_fs[:, si].sum()
+        l_trans = l_trans_fs[:, si].sum()
+        l_cvt = l_cvt_fs[:, si].sum()
+        l_dr = (outputs[("reproj_depth_error", s, -1)]
+                + outputs[("reproj_depth_error", s, 1)])
+        l_df = (outputs[("flow_depth_error", s, -1)]
+                + outputs[("flow_depth_error", s, 1)])
 
         mean_disp = disp.mean(axis=(1, 2), keepdims=True)
         l_smooth = smooth_loss(disp / (mean_disp + 1e-7), color)
