@@ -57,6 +57,18 @@ def evaluate(opt):
     if pred_disps is None:
         batch_size = 8
         imgs = np.stack([it[("color", 0, 0)] for it in items], axis=0).astype(np.float32)
+        n_real = len(imgs)
+        blend = bool(getattr(opt, "post_process_blend", False))
+        if opt.post_process or blend:
+            # reference protocol (evaluate_depth.py:152-154): each image
+            # gets a second, horizontally flipped forward pass.  NOTE: the
+            # reference's Monodepth-v1 blend (batch_post_process_disparity,
+            # evaluate_depth.py:35-47) is DEAD CODE — defined but never
+            # called; `pred_disp[0]` keeps only the unflipped row, so the
+            # reference's --post_process doubles compute without changing
+            # metrics.  --post_process reproduces that exactly;
+            # --post_process_blend (extension) applies the actual blend.
+            imgs = np.concatenate([imgs, imgs[:, :, ::-1]], axis=0)
         pad = (-len(imgs)) % batch_size
         padded = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0) if pad else imgs
         outs = []
@@ -64,7 +76,21 @@ def evaluate(opt):
         for c0 in range(0, len(padded), batch_size):
             outs.append(fwd(jnp.asarray(padded[c0 : c0 + batch_size])))
         model_disps = np.concatenate([np.asarray(o[..., 0]) for o in outs], axis=0)[: len(imgs)]
-        times.append((time.time() - t0) / len(imgs) * 1000)
+        times.append((time.time() - t0) / n_real * 1000)
+        if opt.post_process or blend:
+            l_disp = model_disps[:n_real]
+            if blend:
+                # Monodepth-v1 per-row blend (the reference's dead
+                # batch_post_process_disparity, evaluate_depth.py:35-47)
+                r_disp = model_disps[n_real:, :, ::-1]
+                _, hh, ww = l_disp.shape
+                m_disp = 0.5 * (l_disp + r_disp)
+                ll, _ = np.meshgrid(np.linspace(0, 1, ww), np.linspace(0, 1, hh))
+                l_mask = (1.0 - np.clip(20 * (ll - 0.05), 0, 1))[None]
+                r_mask = l_mask[:, :, ::-1]
+                model_disps = r_mask * l_disp + l_mask * r_disp + (1.0 - l_mask - r_mask) * m_disp
+            else:
+                model_disps = l_disp
     else:
         model_disps = None
 

@@ -139,6 +139,12 @@ class EndoDAVOptions:
         p.add_argument("--eval_eigen_to_benchmark", action="store_true")
         p.add_argument("--eval_out_dir", type=str)
         p.add_argument("--post_process", action="store_true")
+        # extension: ACTUALLY apply the Monodepth-v1 flip blend.  The
+        # reference's --post_process runs the flipped second forward but
+        # its batch_post_process_disparity is dead code (defined, never
+        # called — evaluate_depth.py:35-47 vs :152-166), so metrics are
+        # unchanged; this flag opts into the real blend.
+        p.add_argument("--post_process_blend", action="store_true")
         p.add_argument("--max_length", type=int, default=None)
         p.add_argument("--save_recon", action="store_true")
 

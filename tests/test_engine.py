@@ -134,3 +134,56 @@ def test_merge_lora_galora_notice(capsys):
     assert "--merge_lora ignored" in out
     keys = ["/".join(k) for k in flatten_dict(variables["params"])]
     assert any("extra" in k or "lora" in k for k in keys)
+
+
+@pytest.mark.slow
+def test_evaluate_depth_post_process(tmp_path):
+    """--post_process must reproduce the reference's exact semantics —
+    a second flipped forward whose result is DISCARDED (the reference's
+    batch_post_process_disparity is dead code, evaluate_depth.py:35-47
+    vs :152-166) so metrics are identical; --post_process_blend
+    (extension) applies the real Monodepth-v1 blend."""
+    import copy
+    import os
+
+    import cv2
+
+    from endodav_tpu.cli import evaluate_depth as ed
+    from test_train_step import Opts
+
+    root = tmp_path / "hamlyn"
+    img_dir = root / "rectified05" / "image01"
+    dep_dir = root / "rectified05" / "depth01"
+    os.makedirs(img_dir)
+    os.makedirs(dep_dir)
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"{i:07d}.jpg"),
+                    RNG.integers(0, 255, (96, 120, 3), dtype=np.uint8))
+        cv2.imwrite(str(dep_dir / f"{i:07d}.png"),
+                    RNG.integers(20, 150, (96, 120), dtype=np.uint16))
+
+    opt = copy.copy(Opts())
+    opt.model_type = "endodac"
+    opt.lora_type = "lora"
+    opt.merge_lora = False
+    opt.depth_image_shape = (28, 28)
+    opt.eval_split = "hamlyn"
+    opt.data_path = str(root)
+    opt.height, opt.width = 64, 80
+    opt.ext_disp_to_eval = None
+    opt.post_process = False
+    opt.post_process_blend = False
+    opt.disable_median_scaling = False
+    opt.save_pred_disps = False
+    opt.load_weights_folder = None
+
+    base = ed.evaluate(opt)
+    pp_opt = copy.copy(opt)
+    pp_opt.post_process = True
+    pp = ed.evaluate(pp_opt)
+    np.testing.assert_allclose(pp, base, rtol=1e-6)
+
+    blend_opt = copy.copy(opt)
+    blend_opt.post_process_blend = True
+    blend = ed.evaluate(blend_opt)
+    assert np.isfinite(blend).all()
