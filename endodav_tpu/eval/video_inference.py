@@ -78,14 +78,15 @@ class DedupWindowForward:
 
     def __init__(self, model, variables=None, batch_frames: int = INFER_LEN):
         from endodav_tpu.models.endodav import ENDODAV_CONFIGS
-        from endodav_tpu.utils.envflags import env_on
+        from endodav_tpu.utils.envflags import env_auto
 
         self.variables = variables
         self.batch_frames = int(batch_frames)
         take = ENDODAV_CONFIGS[model.encoder]["intermediate"]
         self._n_taps = len(take)
 
-        if env_on("ENDODAV_SCAN_TRUNK"):
+        # scan trunk AUTO-ON at vitl (engine.py "vitl AUTO-DEFAULT")
+        if env_auto("ENDODAV_SCAN_TRUNK", model.encoder == "vitl"):
             # scan-over-layers trunk (models/vit.py:scan_trunk_apply):
             # same function/params, one compiled block body per segment —
             # the vitl compile-size fix (PERFORMANCE.md "vitl").

@@ -43,19 +43,23 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from endodav_tpu.eval.video_inference import split_compiled_forward
-from endodav_tpu.utils.envflags import env_on
+from endodav_tpu.utils.envflags import env_auto, env_on
 
 __all__ = ["build_tp_mesh", "tp_prepare_params", "tp_param_specs",
-           "tp_window_forward"]
+           "tp_window_forward", "tp_dedup_window_forward"]
 
 
-def build_tp_mesh(n: int, devices=None) -> Mesh:
+def build_tp_mesh(n: int, devices=None, data: int = 1) -> Mesh:
+    """1D ('model',) mesh, or — with data > 1 — a 2D ('data', 'model')
+    mesh for throughput x latency scaling of the dedup encode."""
     if n < 1:
         raise ValueError(f"tensor-parallel mesh needs 'model=N' with N >= 1, got {n}")
     devs = list(devices if devices is not None else jax.devices())
-    if n > len(devs):
-        raise ValueError(f"tensor-parallel mesh wants {n} devices, "
+    if n * data > len(devs):
+        raise ValueError(f"tensor-parallel mesh wants {n * data} devices, "
                          f"only {len(devs)} visible")
+    if data > 1:
+        return Mesh(np.array(devs[:n * data]).reshape(data, n), ("data", "model"))
     return Mesh(np.array(devs[:n]), ("model",))
 
 
@@ -157,7 +161,9 @@ def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
     # lowers as an inline HLO constant, embedding the full weight set in
     # every compiled module (eval/engine.py note; PERFORMANCE.md "Params
     # as jit ARGUMENTS").
-    if (not env_on("ENDODAV_SPLIT_COMPILE")
+    # split compile AUTO-ON at vitl (engine.py "vitl AUTO-DEFAULT")
+    if (not env_auto("ENDODAV_SPLIT_COMPILE",
+                     getattr(model_local, "encoder", None) == "vitl")
             or not hasattr(model_local, "encode")):
         @jax.jit
         def fwd_c(v, win):
@@ -205,3 +211,163 @@ def tp_window_forward(model_local, variables, mesh: Mesh, num_heads: int):
         return lambda taps: head_c(head_sharded, taps)
 
     return split_compiled_forward(trunk, make_head)
+
+
+class TPDedupWindowForward:
+    """Unique-frame dedup pipeline with a TENSOR-PARALLEL encode.
+
+    Implements the `eval/video_inference.DedupWindowForward` contract
+    (``.variables`` / ``.batch_frames`` / ``encode(v, batch)`` /
+    ``head_for(fh, fw, dtype)``) so it drops into `infer_video_depth`
+    and `eval/streaming.DepthStreamer` unchanged — the composition the
+    model axis exists for: dedup removes the sliding window's re-encode
+    work, TP then splits each encode batch's trunk over the mesh's
+    'model' axis, multiplying the per-window critical-path cut on the
+    latency-bound configs (vitl / 518 px streaming, PERFORMANCE.md).
+
+    On a 2D ('data', 'model') mesh the encode batch additionally shards
+    over 'data' (falls back to replicated-batch compute for batches the
+    data axis does not divide, e.g. the streamer's per-frame [1]-batch
+    encodes).  The temporal DPT head runs as replicated compute under
+    shard_map (its Pallas kernels need ordinary local shapes); encode
+    dominates at the dedup-default resolutions, so that is where the
+    chips go — full head DP remains the window-forward path
+    (`tp_window_forward` / --serve_mesh data=N).
+
+    Weights: `encode`/`head_for` accept the RAW variables tree for
+    interface parity; the first call (and any call with a new tree
+    object) transforms + places it via `update_weights`, cached by id.
+    """
+
+    def __init__(self, model_local, variables, mesh: Mesh, num_heads: int,
+                 batch_frames: int | None = None):
+        from endodav_tpu.eval.video_inference import INFER_LEN
+        from endodav_tpu.models.endodav import ENDODAV_CONFIGS
+
+        if getattr(model_local, "lora_type", "none") != "none":
+            raise ValueError("TP dedup expects the merged serving graph "
+                             "(lora_type='none'); fold adapters with "
+                             "merge_lora_params first")
+        if variables is None:
+            raise ValueError("TPDedupWindowForward needs the variables at "
+                             "construction (they are transformed + sharded)")
+        self._mesh = mesh
+        self._g = mesh.shape["model"]
+        self._data = mesh.shape.get("data", 1)
+        self._num_heads = num_heads
+        self._model = model_local
+        self._infer_len = INFER_LEN
+        self.batch_frames = int(batch_frames or INFER_LEN)
+        take = ENDODAV_CONFIGS[model_local.encoder]["intermediate"]
+        self._take = take
+        self._n_taps = len(take)
+        self._head_cache: dict = {}
+        self._encode_jits: dict = {}
+        self._known: set = set()
+        self.update_weights(variables)
+
+    # -------------------------------------------------- weight placement
+
+    def update_weights(self, variables):
+        """Transform + shard a raw variables tree (Megatron split for the
+        trunk, replicated head/extras); id-cached so per-call translation
+        is free for the steady-state same-weights case."""
+        extras = {k: v for k, v in variables.items() if k != "params"}
+        params = tp_prepare_params(variables["params"], self._g, self._num_heads)
+        self._specs = {"params": tp_param_specs(params),
+                       **{k: jax.tree.map(lambda _: P(), v)
+                          for k, v in extras.items()}}
+        put = lambda tree, specs: jax.device_put(
+            tree, jax.tree.map(lambda s: NamedSharding(self._mesh, s), specs,
+                               is_leaf=lambda x: isinstance(x, P)))
+        self.variables = put({"params": params, **extras}, self._specs)
+        hv = {"params": {"head": variables["params"]["head"]}, **extras}
+        self._head_specs = jax.tree.map(lambda _: P(), hv)
+        self._head_vars = put(hv, self._head_specs)
+        self._known = {id(variables), id(self.variables)}
+
+    def _sync(self, v):
+        if v is not None and id(v) not in self._known:
+            self.update_weights(v)
+
+    # ------------------------------------------------------------ encode
+
+    def _enc_local(self):
+        from endodav_tpu.utils.envflags import env_auto
+
+        model, take = self._model, self._take
+        if env_auto("ENDODAV_SCAN_TRUNK", model.encoder == "vitl"):
+            from endodav_tpu.models.endodav import build_trunk
+            from endodav_tpu.models.vit import scan_trunk_apply
+
+            vit = build_trunk(model)
+
+            def enc(vv, batch):
+                x = model.preprocess(batch[None])
+                taps = scan_trunk_apply(vit, vv["params"]["pretrained"], x, take)
+                return (jnp.stack([t for t, _ in taps], axis=1),
+                        jnp.stack([c for _, c in taps], axis=1))
+        else:
+
+            def enc(vv, batch):
+                taps = model.apply(vv, batch[None], method="encode")
+                return (jnp.stack([t for t, _ in taps], axis=1),
+                        jnp.stack([c for _, c in taps], axis=1))
+        return enc
+
+    def encode(self, v, batch):
+        self._sync(v)
+        # data-shard the batch when the axis divides it; replicate otherwise
+        # (each jit is cached; batch shapes are static per pipeline)
+        data_ok = self._data > 1 and batch.shape[0] % self._data == 0
+        key = bool(data_ok)
+        enc_c = self._encode_jits.get(key)
+        if enc_c is None:
+            mesh, specs = self._mesh, self._specs
+            bspec = P("data") if data_ok else P()
+            enc_local = self._enc_local()
+
+            @jax.jit
+            def enc_c(vv, b):
+                run = jax.shard_map(enc_local, mesh=mesh,
+                                    in_specs=(specs, bspec),
+                                    out_specs=(bspec, bspec), check_vma=False)
+                return run(vv, b)
+
+            self._encode_jits[key] = enc_c
+        return enc_c(self.variables, batch)
+
+    # -------------------------------------------------------------- head
+
+    def head_for(self, fh: int, fw: int, out_dtype):
+        key = (fh, fw, np.dtype(out_dtype).name)
+        cached = self._head_cache.get(key)
+        if cached is None:
+            from endodav_tpu.ops.resize import resize2d
+
+            model, k, il = self._model, self._n_taps, self._infer_len
+            mesh, hspecs = self._mesh, self._head_specs
+
+            def head_local(vv, tokens, cls):
+                taps = [(tokens[:, i], cls[:, i]) for i in range(k)]
+                disp = model.apply(vv, taps, il, method="decode")[("disp", 0)]
+                disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
+                return disp[..., 0].astype(out_dtype)
+
+            head_c = jax.jit(lambda vv, tokens, cls: jax.shard_map(
+                head_local, mesh=mesh, in_specs=(hspecs, P(), P()),
+                out_specs=P(), check_vma=False)(vv, tokens, cls))
+
+            def cached(v, tokens, cls):
+                self._sync(v)
+                return head_c(self._head_vars, tokens, cls)
+
+            self._head_cache[key] = cached
+        return cached
+
+
+def tp_dedup_window_forward(model_local, variables, mesh: Mesh,
+                            num_heads: int, batch_frames: int | None = None):
+    """Build the TP dedup pipeline (class above)."""
+    return TPDedupWindowForward(model_local, variables, mesh, num_heads,
+                                batch_frames)

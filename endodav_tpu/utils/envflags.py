@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["env_on"]
+__all__ = ["env_on", "env_auto"]
 
 _FALSY = ("", "0", "false", "off", "no")
 
@@ -23,3 +23,15 @@ def env_on(name: str) -> bool:
     """Truthiness for opt-in/opt-out env flags: falsy spellings ("0",
     "false", "off", "no", "") count as disabled."""
     return os.environ.get(name, "").strip().lower() not in _FALSY
+
+
+def env_auto(name: str, default: bool) -> bool:
+    """Config-aware flag default: an EXPLICITLY SET env var wins (with
+    env_on's spelling rules, so FLAG=0 still forces off), an unset one
+    falls back to ``default``.  Used for per-encoder serving defaults —
+    e.g. vitl auto-selects the scan trunk / split compile that its
+    compile wall requires (PERFORMANCE.md "vitl") without the user
+    having to know the flags."""
+    if name in os.environ:
+        return env_on(name)
+    return default

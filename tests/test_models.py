@@ -304,3 +304,36 @@ def test_ffb_outconv_commutes_with_resize(monkeypatch):
     assert lowres.shape == hires.shape == (2, 18, 22, 16)
     np.testing.assert_allclose(np.asarray(lowres), np.asarray(hires),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_env_auto_flag_semantics(monkeypatch):
+    """env_auto: unset -> default; any explicit spelling wins (FLAG=0
+    forces off even when the config default is on — the vitl
+    auto-strategy escape hatch)."""
+    from endodav_tpu.utils.envflags import env_auto
+
+    monkeypatch.delenv("ENDODAV_X_TEST", raising=False)
+    assert env_auto("ENDODAV_X_TEST", True) is True
+    assert env_auto("ENDODAV_X_TEST", False) is False
+    monkeypatch.setenv("ENDODAV_X_TEST", "0")
+    assert env_auto("ENDODAV_X_TEST", True) is False
+    monkeypatch.setenv("ENDODAV_X_TEST", "1")
+    assert env_auto("ENDODAV_X_TEST", False) is True
+
+
+def test_vitl_auto_selects_scan_trunk(monkeypatch):
+    """--encoder vitl must build the scan-trunk module with no env vars
+    (round-3 VERDICT weak #4); ENDODAV_SCAN_TRUNK=0 restores unrolled."""
+    from endodav_tpu.train.trainer import build_models
+    from test_train_step import Opts
+    import copy
+
+    monkeypatch.delenv("ENDODAV_SCAN_TRUNK", raising=False)
+    opt = copy.copy(Opts())
+    opt.encoder = "vitl"
+    assert build_models(opt)["depth_model"].scan_trunk is True
+    opt.encoder = "vits"
+    assert build_models(opt)["depth_model"].scan_trunk is False
+    monkeypatch.setenv("ENDODAV_SCAN_TRUNK", "0")
+    opt.encoder = "vitl"
+    assert build_models(opt)["depth_model"].scan_trunk is False

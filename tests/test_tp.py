@@ -266,3 +266,85 @@ def test_tp_rejects_unmerged_adapters(single_device_ref):
     bad = EndoDAV(**{**KW, "lora_type": "dvlora"}, tp_groups=2)
     with pytest.raises(ValueError, match="merge"):
         tp_window_forward(bad, variables, mesh, num_heads=6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("g,data", [(2, 1), (3, 1), (2, 2)])
+def test_tp_dedup_matches_single_device(g, data):
+    """TP x dedup composition (round-4): `tp_dedup_window_forward` through
+    the FULL infer_video_depth dedup pipeline must match the single-device
+    dedup pipeline on a model=g (and data x model 2D) virtual mesh.
+    g must divide the head count — 2/3/6 at vits (6 heads); model=4 is a
+    vitl-heads configuration (16 heads) and is covered by the rejection
+    test below."""
+    from endodav_tpu.eval.video_inference import (dedup_window_forward,
+                                                  infer_video_depth)
+    from endodav_tpu.parallel.tp import tp_dedup_window_forward
+
+    if len(jax.devices()) < g * data:
+        pytest.skip("needs a multi-device mesh")
+    m = EndoDAV(**{**KW, "num_frames": 32})
+    v32 = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 56, 70, 3)))
+    frames = np.asarray(RNG.integers(0, 255, (40, 64, 80, 3), dtype=np.uint8))
+
+    def fwd_fn(v, win):
+        return m.apply(v, win)[("disp", 0)]
+
+    single = infer_video_depth(fwd_fn, frames, image_shape=(56, 70),
+                               chunk_windows=2, variables=v32,
+                               dedup=dedup_window_forward(m, v32))
+
+    mesh = build_tp_mesh(g, data=data)
+    local = EndoDAV(tp_groups=g, **{**KW, "num_frames": 32})
+    tp_dedup = tp_dedup_window_forward(local, v32, mesh, num_heads=6)
+    tp = infer_video_depth(fwd_fn, frames, image_shape=(56, 70),
+                           chunk_windows=2, variables=v32, dedup=tp_dedup)
+    np.testing.assert_allclose(tp, single, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_tp_dedup_streaming_matches():
+    """DepthStreamer in dedup mode over the TP dedup pipeline (the
+    flagship live-vitl composition: stream x dedup x TP) — per-frame
+    [1]-batch encodes ride the replicated-batch fallback on a 2D mesh."""
+    from endodav_tpu.eval.streaming import DepthStreamer
+    from endodav_tpu.eval.video_inference import dedup_window_forward
+    from endodav_tpu.parallel.tp import tp_dedup_window_forward
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    m = EndoDAV(**{**KW, "num_frames": 32})
+    v32 = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 56, 70, 3)))
+    frames = np.asarray(RNG.integers(0, 255, (36, 64, 80, 3), dtype=np.uint8))
+
+    def fwd_fn(win):
+        return m.apply(v32, win)[("disp", 0)]
+
+    outs = {}
+    for name, dedup in (
+        ("single", dedup_window_forward(m, v32)),
+        ("tp", tp_dedup_window_forward(
+            EndoDAV(tp_groups=2, **{**KW, "num_frames": 32}), v32,
+            build_tp_mesh(2, data=2), num_heads=6)),
+    ):
+        s = DepthStreamer(fwd_fn, image_shape=(56, 70), dedup=dedup)
+        got = []
+        for f in frames:
+            got.extend(s.push(f))
+        got.extend(s.flush())
+        outs[name] = np.stack(got)
+    np.testing.assert_allclose(outs["tp"], outs["single"], rtol=2e-4, atol=2e-4)
+
+
+def test_tp_dedup_rejects_indivisible_heads():
+    """model=4 at vits (6 heads) must fail loudly — 4 is a vitl-heads
+    (16) degree; silent padding would change the math."""
+    from endodav_tpu.parallel.tp import tp_dedup_window_forward
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    m = EndoDAV(**{**KW, "num_frames": 32})
+    v32 = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 56, 70, 3)))
+    with pytest.raises(ValueError, match="not divisible"):
+        tp_dedup_window_forward(EndoDAV(tp_groups=4, **{**KW, "num_frames": 32}),
+                                v32, build_tp_mesh(4), num_heads=6)
