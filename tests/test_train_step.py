@@ -312,3 +312,18 @@ def test_unrunnable_pose_model_types_rejected():
     opt.pose_model_input = "all"
     with pytest.raises(ValueError, match="pose_model_input"):
         build_models(opt)
+
+
+@pytest.mark.slow
+def test_dp_sharded_loss_matches_single_device():
+    """The same global batch through the data=4 sharded step must produce
+    the data=1 loss (round-3 VERDICT task 8; the DP curve lives in
+    tools/bench_dp_scaling.py + PERFORMANCE.md)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.bench_dp_scaling import run_one
+
+    l1, _ = run_one(1, 1)
+    l4, _ = run_one(4, 1)
+    assert abs(l1 - l4) < 1e-4, (l1, l4)

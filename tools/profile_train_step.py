@@ -36,6 +36,10 @@ CATEGORIES = (
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--top", type=int, default=25,
+                    help="rows to print in the top-ops table")
+    ap.add_argument("--dump", default="",
+                    help="write every device row as JSON to this path")
     ap.add_argument("--encoder", default="vits", choices=["vits", "vitl"],
                     help="vitl needs ENDODAV_SCAN_TRUNK=1: the unrolled "
                          "24-block train-step lowering exceeds the "
@@ -79,6 +83,11 @@ def main():
     # top=None: the total must sum EVERY device row — a truncated list
     # understates it and skews the category percentages.
     rows = device_profile(run, top=None)
+    if args.dump:
+        import json
+
+        with open(args.dump, "w") as f:
+            json.dump(rows, f)
     total = sum(ms for name, n, ms in rows
                 if not name.startswith("jit_") and not name.isdigit())
     # exact-format loss lines consumed by tools/bench_warp_windows.py's
@@ -102,7 +111,7 @@ def main():
     for cat, ms in sorted(cat_sum.items(), key=lambda kv: -kv[1]):
         print(f"  {cat:12s} {ms/args.steps:8.0f} ms/step  ({100*ms/total:.0f}%)")
     print("\ntop ops:")
-    for name, n, ms in rows[:25]:
+    for name, n, ms in rows[:args.top]:
         if not name.startswith("jit_") and not name.isdigit():
             print(f"  {name[:70]:70s} n={n:5d} {ms/args.steps:8.1f} ms/step")
 
