@@ -39,7 +39,17 @@ __all__ = [
 
 
 class _ReflectConvBlock(nn.Module):
-    """3x3 conv with reflection padding + ELU (utils/layers.py:101-131)."""
+    """3x3 conv with reflection padding + ELU (utils/layers.py:101-131).
+
+    The reflect pad stays the explicit jnp.pad: a round-4 experiment
+    replaced it with a zero-SAME conv + recomputed 1-px border strips
+    (exact, bitwise-equal) expecting to drop the padded-copy bandwidth
+    (73 ms/step attributed to these pads in the device profile), but
+    the whole step moved only 749 -> 740 ms while convolution fusions
+    grew +25 ms — XLA already fuses the pad into the conv, so the
+    attribution was pad+conv fusions, not removable pad cost — and the
+    extra strip ops inflated CPU compile times badly.  Measured
+    negative; recorded in PERFORMANCE.md "Round 4"."""
 
     features: int
     dtype: Any = jnp.float32
