@@ -315,6 +315,18 @@ class Trainer:
             device_preprocess=not getattr(opt, "host_preprocess", False),
             random_capable=bool(getattr(opt, "random_train", False)),
         )
+        if len(self.train_dataset) < opt.batch_size:
+            # the reference's default --T is -1, which its own shipped
+            # scripts always override (--T 16); a clip dataset smaller
+            # than one batch would otherwise train ZERO steps and still
+            # "complete" the epoch (observed in a round-4 verify drive)
+            raise ValueError(
+                f"video-clip train dataset has {len(self.train_dataset)} "
+                f"samples (< batch_size {opt.batch_size}) — the epoch "
+                "would silently train nothing. Check --T (the shipped "
+                "configs use --T 16; the default -1 yields no clips), "
+                "--batch_size, and the sequence lengths under "
+                f"{opt.data_path}")
         self.train_loader = Loader(self.train_dataset, opt.batch_size, shuffle=True,
                                    num_workers=max(1, getattr(opt, "num_workers", 1)))
         val_dataset = ScaredVideoClips(

@@ -7,6 +7,7 @@ torch state dict).
 """
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -88,6 +89,7 @@ def _synthetic_torch_sd(variables, component):
     return sd, uncovered
 
 
+@pytest.mark.slow
 def test_endodav_rules_cover_all_params():
     m = EndoDAV(encoder="vits", image_shape=(28, 42), num_frames=2,
                 lora_type="dvlora", residual_block_indexes=(2, 5, 8, 11), temporal_lora=True)

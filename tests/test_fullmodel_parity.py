@@ -140,10 +140,12 @@ def test_endodav_flagship_parity(ref):
     _run_endodav_case(ref, "flagship")
 
 
+@pytest.mark.slow
 def test_endodav_lora_noconvhead_parity(ref):
     _run_endodav_case(ref, "lora_noconvhead")
 
 
+@pytest.mark.slow
 def test_endodav_ssb_invsigmoid_parity(ref):
     _run_endodav_case(ref, "ssb_invsigmoid")
 
@@ -198,6 +200,7 @@ def test_endodac_lora_parity(ref):
 
 # ---------------------------------------------- sliding-window inference
 
+@pytest.mark.slow
 def test_infer_video_depth_loop_parity(ref):
     """Reference infer_video_depth (endodav.py:162-254) — the sequential
     keyframe-carry loop + cv2 preproc + scale/shift stitch — vs our

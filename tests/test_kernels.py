@@ -188,6 +188,7 @@ def test_fused_temporal_block_backward_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_motion_module_fused_matches_unfused():
     """The fused-block wiring in models/motion.py must be numerically and
     param-tree equivalent to the unfused path (init under either branch,

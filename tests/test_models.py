@@ -111,10 +111,13 @@ def test_scan_trunk_module_flag_forward_and_grad():
     the identical per-layer param tree."""
     from endodav_tpu.models.endodav import EndoDAV
 
-    m0 = EndoDAV(image_shape=(28, 28), num_frames=32)
-    m1 = EndoDAV(image_shape=(28, 28), num_frames=32, scan_trunk=True)
-    v = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 28, 28, 3)))
-    x = jnp.asarray(RNG.uniform(0, 1, (1, 32, 32, 32, 3)).astype(np.float32))
+    # T=8 (not the serving 32): the scan-vs-unrolled contract is
+    # per-layer and T-independent; T=32 made this the slowest fast test
+    # (266 s) for no extra coverage
+    m0 = EndoDAV(image_shape=(28, 28), num_frames=8)
+    m1 = EndoDAV(image_shape=(28, 28), num_frames=8, scan_trunk=True)
+    v = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 28, 28, 3)))
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 8, 32, 32, 3)).astype(np.float32))
 
     o0 = m0.apply(v, x)[("disp", 0)]
     o1 = m1.apply(v, x)[("disp", 0)]

@@ -99,6 +99,7 @@ def test_tp_compiled_module_contains_reductions(single_device_ref):
     assert "all-reduce" in hlo, "TP forward compiled without any all-reduce"
 
 
+@pytest.mark.slow
 def test_tp_through_engine_and_chunk_pipeline(single_device_ref):
     """--serve_mesh model=2 via engine.depth_window_forward must match the
     single-device forward through the FULL infer_video_depth pipeline

@@ -234,6 +234,7 @@ def test_save_and_load_roundtrip(trainer):
         )
 
 
+@pytest.mark.slow
 def test_dash_phase_boundary_swaps_step():
     """The dash warmup boundary runs the SVD update and recompiles the
     step with phase 2 enabled (no full step execution needed)."""

@@ -23,12 +23,21 @@ SEQS = ["train/dataset5/keyframe1", "train/dataset3/keyframe3",
         "train/dataset4/keyframe3"]
 
 
+def _train_seqs():
+    """The scared_video train split (splits/scared_video/train_files.txt)
+    — written by --full so train_end_to_end_video.py can run end-to-end."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "splits", "scared_video", "train_files.txt")
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
 def build(root: str, h: int = 256, w: int = 320, n_frames: int = 40,
-          seed: int = 17) -> None:
+          seed: int = 17, seqs=None) -> None:
     import cv2
 
     rng = np.random.default_rng(seed)
-    for seq in SEQS:
+    for seq in (seqs if seqs is not None else SEQS):
         base = os.path.join(root, seq, "data")
         for sub in ("left", "right", "scene_points", "frame_data"):
             os.makedirs(os.path.join(base, sub), exist_ok=True)
@@ -47,7 +56,8 @@ def build(root: str, h: int = 256, w: int = 320, n_frames: int = 40,
             with open(os.path.join(base, "frame_data",
                                    f"frame_data{i:06d}.json"), "w") as f:
                 json.dump({"camera-pose": pose.tolist()}, f)
-    print(f"synthetic SCARED tree at {root}: {len(SEQS)} sequences × "
+    print(f"synthetic SCARED tree at {root}: "
+          f"{len(seqs if seqs is not None else SEQS)} sequences × "
           f"{n_frames} frames of {h}x{w}")
 
 
@@ -57,8 +67,15 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--full", action="store_true",
+                    help="also write the 24 train-split sequences "
+                         "(--train_frames each) so the train CLI runs")
+    ap.add_argument("--train_frames", type=int, default=20)
     args = ap.parse_args(argv)
     build(args.out, args.height, args.width, args.frames)
+    if args.full:
+        build(args.out, args.height, args.width, args.train_frames,
+              seed=31, seqs=_train_seqs())
     return 0
 
 
