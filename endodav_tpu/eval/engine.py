@@ -245,6 +245,19 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
             print("[serve] vitl compile strategy: "
                   f"scan_trunk={'on' if use_scan else 'off'} "
                   f"split_compile={'on' if use_split else 'off'} (auto)")
+        # int8 serving GEMMs: default ON for the vitl MERGED graph — the
+        # most GEMM-dominated config is the one place the whole-model A/B
+        # wins (round 4, tools/bench_int8_serving.py: 629 -> 578 ms/chunk,
+        # +9.0%, disp deviation max 0.012 — the scale that printed
+        # metrics identical on the vits A/B).  vits stays off (measured
+        # 0.96-0.99x, PERFORMANCE.md "int8").  ENDODAV_INT8=0 opts out;
+        # training is guarded upstream (Trainer strips the flag).
+        if (is_vitl and getattr(model, "lora_type", "none") == "none"
+                and "ENDODAV_INT8" not in os.environ):
+            os.environ["ENDODAV_INT8"] = "1"
+            print("[serve] vitl int8 serving GEMMs: on (auto; measured "
+                  "+9% at 518px, disp deviation <=0.012 — ENDODAV_INT8=0 "
+                  "opts out)")
         if use_split or use_scan:
             from endodav_tpu.eval.video_inference import split_compiled_forward
 

@@ -163,3 +163,33 @@ def test_lora_variants_ignore_quant_flag(monkeypatch):
     p = layer.init(jax.random.PRNGKey(0), x)
     ref = LoRADense(8, variant="dvlora", r=2).apply(p, x)
     np.testing.assert_array_equal(np.asarray(layer.apply(p, x)), np.asarray(ref))
+
+
+def test_vitl_merged_serving_defaults_int8(monkeypatch):
+    """depth_window_forward must auto-enable the int8 serving GEMMs for
+    the vitl MERGED graph (round-4 device A/B: +9%), leave vits alone,
+    and honor an explicit ENDODAV_INT8=0 opt-out."""
+    import os
+
+    from endodav_tpu.eval.engine import depth_window_forward
+
+    class Stub:
+        encoder = "vitl"
+        lora_type = "none"
+        image_shape = (28, 28)
+
+    monkeypatch.setenv("ENDODAV_SCAN_TRUNK", "0")
+    monkeypatch.setenv("ENDODAV_SPLIT_COMPILE", "0")
+    monkeypatch.delenv("ENDODAV_INT8", raising=False)
+    depth_window_forward(Stub(), {}, "endodav")
+    assert os.environ.get("ENDODAV_INT8") == "1"
+
+    monkeypatch.setenv("ENDODAV_INT8", "0")
+    depth_window_forward(Stub(), {}, "endodav")
+    assert os.environ.get("ENDODAV_INT8") == "0"  # opt-out respected
+
+    monkeypatch.delenv("ENDODAV_INT8", raising=False)
+    vits = Stub()
+    vits.encoder = "vits"
+    depth_window_forward(vits, {}, "endodav")
+    assert "ENDODAV_INT8" not in os.environ  # vits untouched

@@ -92,10 +92,13 @@ def main():
         # fresh jits per mode: the env flag is read at trace time
         run = depth_window_forward(model, variables, "endodav")
         t0 = time.perf_counter()
-        out = device_sync(run(chunks[0]))
+        out = run(chunks[0])
+        device_sync(out)  # device_sync RETURNS a scalar — keep `out` whole
         print(f"[{mode}] compile {time.perf_counter()-t0:.1f}s", flush=True)
         # deviation over the FULL chunk (a frame-0 slice would understate
-        # artifacts on later frames); one extra transfer in a benchmark
+        # artifacts on later frames; a round-3 migration bug compared a
+        # single fetched SCALAR here and printed deviation 0.0000);
+        # one extra transfer in a benchmark
         outs[mode] = np.asarray(out, np.float32)
         times = []
         for i in range(args.iters):
