@@ -180,16 +180,22 @@ def test_vitl_merged_serving_defaults_int8(monkeypatch):
 
     monkeypatch.setenv("ENDODAV_SCAN_TRUNK", "0")
     monkeypatch.setenv("ENDODAV_SPLIT_COMPILE", "0")
-    monkeypatch.delenv("ENDODAV_INT8", raising=False)
-    depth_window_forward(Stub(), {}, "endodav")
-    assert os.environ.get("ENDODAV_INT8") == "1"
+    # NOTE: the engine SETS the var itself; monkeypatch can only restore
+    # what it changed, so clean up explicitly to avoid leaking int8 into
+    # later same-process tests
+    try:
+        os.environ.pop("ENDODAV_INT8", None)
+        depth_window_forward(Stub(), {}, "endodav")
+        assert os.environ.get("ENDODAV_INT8") == "1"
 
-    monkeypatch.setenv("ENDODAV_INT8", "0")
-    depth_window_forward(Stub(), {}, "endodav")
-    assert os.environ.get("ENDODAV_INT8") == "0"  # opt-out respected
+        os.environ["ENDODAV_INT8"] = "0"
+        depth_window_forward(Stub(), {}, "endodav")
+        assert os.environ.get("ENDODAV_INT8") == "0"  # opt-out respected
 
-    monkeypatch.delenv("ENDODAV_INT8", raising=False)
-    vits = Stub()
-    vits.encoder = "vits"
-    depth_window_forward(vits, {}, "endodav")
-    assert "ENDODAV_INT8" not in os.environ  # vits untouched
+        os.environ.pop("ENDODAV_INT8", None)
+        vits = Stub()
+        vits.encoder = "vits"
+        depth_window_forward(vits, {}, "endodav")
+        assert "ENDODAV_INT8" not in os.environ  # vits untouched
+    finally:
+        os.environ.pop("ENDODAV_INT8", None)
