@@ -88,7 +88,11 @@ def forward_flow_nets(mods, variables, batch, scales, hw, train_position: bool, 
     out: dict[Any, jnp.ndarray] = {}
     new_stats = {}
     n_s = len(scales)
-    pos_by_f = {}
+    # NOTE: the per-scale flow upsamples stay SEPARATE resize2d calls —
+    # batching the 4 same-shape resizes per scale into one call was
+    # device-measured at 801 ms/step vs 749 without it (two idle-machine
+    # profiles each; the concat/split layout passes outweigh the saved
+    # dispatches), so the batching was reverted (PERFORMANCE.md round 4).
     for f_i in (-1, 1):
         fwd_in = jnp.concatenate([batch[("color_aug", f_i, 0)], batch[("color_aug", 0, 0)]], axis=-1)
         rev_in = jnp.concatenate([batch[("color_aug", 0, 0)], batch[("color_aug", f_i, 0)]], axis=-1)
@@ -100,19 +104,14 @@ def forward_flow_nets(mods, variables, batch, scales, hw, train_position: bool, 
             new_stats["position_encoder"] = bs
         pos_f, _ = _apply(mods["position"], variables["position"], feats_f)
         pos_r, _ = _apply(mods["position"], variables["position"], feats_r)
-        pos_by_f[f_i] = (pos_f, pos_r)
 
-    # per scale: the 4 same-shape flow maps (fwd/rev x both frames)
-    # upsample in ONE resize2d call (the resize matmuls batch trivially)
-    for s in scales:
-        group = [pos_by_f[f_i][d][("position", s)] for f_i in (-1, 1) for d in (0, 1)]
-        his4 = resize2d(jnp.concatenate(group, axis=0), (H, W), "bilinear",
-                        align_corners=True)
-        parts = jnp.split(his4, 4, axis=0)
-        for gi, (f_i, d) in enumerate([(f, d) for f in (-1, 1) for d in (0, 1)]):
-            key = "position" if d == 0 else "position_reverse"
-            out[(key, s, f_i)] = group[gi]
-            out[(key, "high", s, f_i)] = parts[gi]
+        for s in scales:
+            out[("position", s, f_i)] = pos_f[("position", s)]
+            out[("position", "high", s, f_i)] = resize2d(
+                pos_f[("position", s)], (H, W), "bilinear", align_corners=True)
+            out[("position_reverse", s, f_i)] = pos_r[("position", s)]
+            out[("position_reverse", "high", s, f_i)] = resize2d(
+                pos_r[("position", s)], (H, W), "bilinear", align_corners=True)
 
     # Batched warps (round 4): every (scale, frame) pair warps at full
     # resolution, so the reference's 8-iteration warp loop collapses to
