@@ -90,9 +90,9 @@ def forward_flow_nets(mods, variables, batch, scales, hw, train_position: bool, 
     n_s = len(scales)
     # NOTE: the per-scale flow upsamples stay SEPARATE resize2d calls —
     # batching the 4 same-shape resizes per scale into one call was
-    # device-measured at 801 ms/step vs 749 without it (two idle-machine
-    # profiles each; the concat/split layout passes outweigh the saved
-    # dispatches), so the batching was reverted (PERFORMANCE.md round 4).
+    # device-measured at 801/801 ms/step vs 749/740 without (the
+    # concat/split layout passes outweigh the saved dispatches); the
+    # batching was reverted (PERFORMANCE.md round 4).
     for f_i in (-1, 1):
         fwd_in = jnp.concatenate([batch[("color_aug", f_i, 0)], batch[("color_aug", 0, 0)]], axis=-1)
         rev_in = jnp.concatenate([batch[("color_aug", 0, 0)], batch[("color_aug", f_i, 0)]], axis=-1)
