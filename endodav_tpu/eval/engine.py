@@ -217,20 +217,6 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
         return fwd
 
     if model_type == "endodav":
-        dedup = None
-        from endodav_tpu.eval.video_inference import (dedup_by_default,
-                                                      dedup_window_forward)
-
-        if dedup_by_default(model.image_shape):
-            # resolution-aware DEFAULT (dedup_wins): encode each unique
-            # source frame ONCE; the sliding window's OVERLAP
-            # keyframe-carried slots re-enter only the temporal DPT head
-            # (exact — the trunk is strictly per-frame, metrics
-            # device-verified identical).  Wins at token-heavy trunk
-            # inputs (518px e2e A/B +33%), loses at 224x280 where
-            # [32]-frame encode batches under-fill the chip
-            # (PERFORMANCE.md "Dedup").
-            dedup = dedup_window_forward(model, variables)
         # vitl AUTO-DEFAULT (round-3 VERDICT weak #4): the unrolled
         # whole-model vitl jit exceeds remote-compile limits (>40 min
         # broken pipe) while scan-trunk + split compile clears in
@@ -250,14 +236,34 @@ def depth_window_forward(model, variables, model_type: str, opt=None):
         # wins (round 4, tools/bench_int8_serving.py: 629 -> 578 ms/chunk,
         # +9.0%, disp deviation max 0.012 — the scale that printed
         # metrics identical on the vits A/B).  vits stays off (measured
-        # 0.96-0.99x, PERFORMANCE.md "int8").  ENDODAV_INT8=0 opts out;
-        # training is guarded upstream (Trainer strips the flag).
+        # 0.96-0.99x, PERFORMANCE.md "int8").  The decision is scoped to
+        # THIS model via the int8_serving config field (ops/quant.py:
+        # resolve_int8) — no process-global env write, so a vits engine
+        # built later in the same process is untouched (round-4 advisor).
+        # ENDODAV_INT8=0/1 remains the explicit override; training is
+        # guarded upstream (Trainer strips the env flag, and the Trainer
+        # never sets int8_serving).
         if (is_vitl and getattr(model, "lora_type", "none") == "none"
                 and "ENDODAV_INT8" not in os.environ):
-            os.environ["ENDODAV_INT8"] = "1"
+            model = model.clone(int8_serving=True)
             print("[serve] vitl int8 serving GEMMs: on (auto; measured "
                   "+9% at 518px, disp deviation <=0.012 — ENDODAV_INT8=0 "
                   "opts out)")
+
+        dedup = None
+        from endodav_tpu.eval.video_inference import (dedup_by_default,
+                                                      dedup_window_forward)
+
+        if dedup_by_default(model.image_shape):
+            # resolution-aware DEFAULT (dedup_wins): encode each unique
+            # source frame ONCE; the sliding window's OVERLAP
+            # keyframe-carried slots re-enter only the temporal DPT head
+            # (exact — the trunk is strictly per-frame, metrics
+            # device-verified identical).  Wins at token-heavy trunk
+            # inputs (518px e2e A/B +33%), loses at 224x280 where
+            # [32]-frame encode batches under-fill the chip
+            # (PERFORMANCE.md "Dedup").
+            dedup = dedup_window_forward(model, variables)
         if use_split or use_scan:
             from endodav_tpu.eval.video_inference import split_compiled_forward
 

@@ -89,7 +89,8 @@ def flash_attention(q, k, v, scale: float | None = None,
     return _forward(q, k, v, scale, n_valid)
 
 
-def qkv_flash_attention(x, w, bias, heads: int, scale: float | None = None):
+def qkv_flash_attention(x, w, bias, heads: int, scale: float | None = None,
+                        quant_int8: bool = False):
     """Fused-QKV attention: x [B, N, C] @ w [C, 3C] (+bias) -> attention.
 
     Pads x ONCE to the 128-row grid and projects q/k/v from weight-column
@@ -109,9 +110,7 @@ def qkv_flash_attention(x, w, bias, heads: int, scale: float | None = None):
     n_pad = _round_up(n, 128)
     xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
 
-    from endodav_tpu.ops.quant import int8_enabled
-
-    if int8_enabled():
+    if quant_int8:
         # int8 projection at padded length: one per-row quantization of
         # xp shared by the three weight-column slices (via int8_dense's
         # x_quant hook — single epilogue implementation), so the int8 MXU

@@ -218,8 +218,17 @@ def _lane_window(C: int) -> int:
     coverage gain).  Any width is CORRECT — chunks whose footprint
     misses the window take the exact full fallback (the plan's `ok`
     test) — so this is purely a masking-cost/fallback-rate tradeoff;
-    ENDODAV_WARP_LW overrides for A/B."""
-    return int(os.environ.get("ENDODAV_WARP_LW", "256"))
+    ENDODAV_WARP_LW overrides for A/B (validated: non-128-multiples
+    would break _band_plan's clamped lane starts and violate the
+    kernels' pl.multiple_of(lane_ref, 128) promise — silent misaligned
+    loads, not an error)."""
+    lw = int(os.environ.get("ENDODAV_WARP_LW", "256"))
+    if lw < _LANE or lw % _LANE:
+        raise ValueError(
+            f"ENDODAV_WARP_LW={lw}: the lane window must be a positive "
+            f"multiple of {_LANE} (lane starts are clamped to wcp - lw, "
+            "so any other width produces misaligned lane slices)")
+    return lw
 
 
 def _tile_shape(pb, ho, wo):
@@ -513,10 +522,17 @@ def _pick_pb(C, backward=False):
     work (coord reads, window-plan test, iota builds); the ceiling is
     the ~dozen [lw, pb] f32 temps the backward holds in VMEM — pb=256
     for the C=3 backward was tried in round 4 and overflowed scoped
-    vmem by 680K on device.  ENDODAV_WARP_PB overrides for A/B."""
+    vmem by 680K on device.  ENDODAV_WARP_PB overrides for A/B
+    (restricted to the widths _tile_shape/lane slicing support)."""
     env = os.environ.get("ENDODAV_WARP_PB")
     if env:
-        return int(env)
+        pb = int(env)
+        if pb not in (128, 256, 512):
+            raise ValueError(
+                f"ENDODAV_WARP_PB={pb}: supported pixel-chunk widths are "
+                "128, 256, 512 (other widths break _tile_shape and the "
+                "128-lane slice alignment the kernels assert)")
+        return pb
     if C <= 2:
         return 512
     return 128 if backward else 256
@@ -551,7 +567,14 @@ def grid_sample_mm(img, fx, fy, zeros_mode: bool = False,
     producing coordinate AND image grads in one launch (round-4); when
     False it runs the coord-only kernel and returns ZERO image grads —
     only legal when the caller knows the image carries no gradient
-    (input frames in the training losses).
+    (input frames in the training losses).  Tradeoff of the fusion: the
+    two separate pallas_calls let XLA DCE whichever output was unused —
+    with the fused kernel, img_grad=True always computes the coord
+    grads too (both outputs come from one launch), so a caller with
+    image grads but a non-differentiated GRID should pass
+    img_grad=True knowing the dw work is wasted; every in-repo caller
+    differentiates the grid, so this is latent, not active (round-4
+    advisor note).
 
     img_tile (static): coordinate-grid batch element bi samples image
     bi // img_tile — several same-image warps (e.g. the per-scale flow

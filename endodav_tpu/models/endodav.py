@@ -61,6 +61,7 @@ def build_trunk(model: "EndoDAV") -> DinoViT:
         lora_alpha=_endodav_lora_alpha(model.lora_type, model.r),
         tp_groups=model.tp_groups,
         scan_blocks=model.scan_trunk,
+        quant_int8=model.int8_serving,
         dtype=model.dtype,
     )
 
@@ -89,6 +90,12 @@ class EndoDAV(nn.Module):
     # body per segment instead of `depth` copies — compile-size fix for
     # vitl and for the train step's whole-graph jit.
     scan_trunk: bool = False
+    # int8 serving GEMMs for the trunk projections (ops/quant.py) —
+    # SERVING ONLY (round() has zero gradient); set per-model by the
+    # engine (vitl merged-graph auto-default) so the decision is scoped
+    # to this model instead of process-global env state (round-4
+    # advisor).  ENDODAV_INT8 env var remains the explicit override.
+    int8_serving: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):

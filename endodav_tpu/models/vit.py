@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from endodav_tpu.models.lora import LoRADense
 from endodav_tpu.ops.attention import fused_qkv_attention
-from endodav_tpu.ops.quant import int8_dense, int8_enabled
+from endodav_tpu.ops.quant import int8_dense, resolve_int8
 from endodav_tpu.ops.resize import resize2d
 
 __all__ = ["DinoViT", "VIT_CONFIGS", "scan_trunk_apply"]
@@ -55,11 +55,14 @@ class Mlp(nn.Module):
     # width (global/g), fc2 emits a partial sum reduced over this axis
     # (its bias is pre-divided by g when the params are sharded)
     tp_axis: str | None = None
+    # serving-only int8 GEMMs, threaded from the model config (env var
+    # ENDODAV_INT8 is explicit override only — ops/quant.py:resolve_int8)
+    quant_int8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, dash_phase2: bool = False):
-        quant = int8_enabled()  # serving-only int8 GEMMs (ops/quant.py)
+        quant = resolve_int8(self.quant_int8)
         x = LoRADense(
             self.hidden_features, r=self.lora_rank, lora_alpha=self.lora_alpha,
             variant=self.lora_variant, dtype=self.dtype, name="fc1",
@@ -124,18 +127,22 @@ class SpatialAttention(nn.Module):
     # axis (its bias is pre-divided by g when the params are sharded)
     tp_axis: str | None = None
     tp_groups: int = 1
+    # serving-only int8 GEMMs, threaded from the model config (env var
+    # ENDODAV_INT8 is explicit override only — ops/quant.py:resolve_int8)
+    quant_int8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, n, c = x.shape
+        quant = resolve_int8(self.quant_int8)
         w, bias = _QKVParams(3 * self.dim // self.tp_groups, self.qkv_bias, name="qkv")(c)
-        if int8_enabled():
+        if quant:
             # pass the f32 master kernel: the attention dispatch quantizes
             # it inside the fused-qkv projection (per-row x scales shared
             # by the q/k/v weight-column slices), so int8 composes with
             # the single-pad prep win (kernels/flash_attention.py)
-            out = fused_qkv_attention(x, w, bias, self.num_heads)
+            out = fused_qkv_attention(x, w, bias, self.num_heads, quant_int8=True)
         else:
             wd = w.astype(self.dtype)
             bd = bias.astype(self.dtype) if bias is not None else None
@@ -145,7 +152,7 @@ class SpatialAttention(nn.Module):
         # nn.Dense's tree: "kernel" lecun_normal + "bias" zeros), so the
         # runtime quant flag can never fork the checkpoint format
         wp, bp = _QKVParams(self.dim, self.proj_bias, name="proj")(out.shape[-1])
-        if int8_enabled():
+        if quant:
             out = int8_dense(out, wp, bp, out_dtype=self.dtype)
         else:
             out = out.astype(self.dtype) @ wp.astype(self.dtype)
@@ -233,6 +240,7 @@ class ViTBlock(nn.Module):
     # sums reduced over the 'model' mesh axis inside attn/mlp
     tp_groups: int = 1
     tp_axis: str = "model"
+    quant_int8: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -247,7 +255,8 @@ class ViTBlock(nn.Module):
         x = x + LayerScale(self.dim, name="ls1")(
             SpatialAttention(
                 self.dim, self.num_heads // self.tp_groups, dtype=self.dtype,
-                tp_axis=tp_axis, tp_groups=self.tp_groups, name="attn",
+                tp_axis=tp_axis, tp_groups=self.tp_groups,
+                quant_int8=self.quant_int8, name="attn",
             )(ln("norm1")(x))
         )
         if self.ffn_layer == "swiglu":
@@ -260,7 +269,7 @@ class ViTBlock(nn.Module):
             ffn = Mlp(
                 4 * self.dim // self.tp_groups, self.dim, self.lora_variant,
                 self.lora_rank, self.lora_alpha, tp_axis=tp_axis,
-                dtype=self.dtype, name="mlp",
+                quant_int8=self.quant_int8, dtype=self.dtype, name="mlp",
             )
         x = x + LayerScale(self.dim, name="ls2")(ffn(ln("norm2")(x), dash_phase2))
         if self.use_residual_block:
@@ -304,6 +313,9 @@ class DinoViT(nn.Module):
     # form: the stacking happens at apply time from self.variables, so
     # gradients flow back to the per-layer params through the stack.
     scan_blocks: bool = False
+    # serving-only int8 GEMMs for the block projections, threaded from
+    # the model config (ENDODAV_INT8 env var is explicit override only)
+    quant_int8: bool = False
     dtype: Any = jnp.float32
 
     def interpolated_pos_embed(self, pos_embed, ph: int, pw: int):
@@ -365,7 +377,7 @@ class DinoViT(nn.Module):
                     include_cls_token=self.include_cls_token,
                     lora_variant=self.lora_variant, lora_rank=self.lora_rank,
                     lora_alpha=self.lora_alpha, ffn_layer=self.ffn_layer,
-                    tp_groups=self.tp_groups,
+                    tp_groups=self.tp_groups, quant_int8=self.quant_int8,
                     dtype=self.dtype, name=f"blocks_{i}",
                 )(x, dash_phase2)
                 if i in take:
@@ -432,7 +444,8 @@ def _run_block_plan(vit: DinoViT, params, x, take_indices, patch_hw,
             include_cls_token=vit.include_cls_token,
             lora_variant=vit.lora_variant, lora_rank=vit.lora_rank,
             lora_alpha=vit.lora_alpha, ffn_layer=vit.ffn_layer,
-            tp_groups=vit.tp_groups, dtype=vit.dtype,
+            tp_groups=vit.tp_groups, quant_int8=vit.quant_int8,
+            dtype=vit.dtype,
         )
 
     plan = _scan_segment_plan(vit.depth, take_indices, vit.residual_block_indexes)

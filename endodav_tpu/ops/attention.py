@@ -41,9 +41,14 @@ def _warn_fallback(entry: str, exc: Exception) -> None:
 
 
 def fused_qkv_attention(x, w, bias, heads: int,
-                        scale: float | None = None) -> jnp.ndarray:
+                        scale: float | None = None,
+                        quant_int8: bool = False) -> jnp.ndarray:
     """Fused-QKV MHSA over x [B, N, C] with one packed projection
     w [C, 3C] (+ optional bias [3C]); returns [B, N, H, Dh].
+
+    ``quant_int8``: the RESOLVED int8 decision from the calling module
+    (models/vit.py:SpatialAttention resolves model flag + env override
+    once) — projections ride the int8 MXU when set.
 
     On TPU this routes to the flash kernel's qkv entry, which pads x once
     and projects q/k/v from weight-column slices at padded length —
@@ -61,12 +66,13 @@ def fused_qkv_attention(x, w, bias, heads: int,
         try:
             from endodav_tpu.kernels.flash_attention import qkv_flash_attention
 
-            return qkv_flash_attention(x, w, bias, heads, scale)
+            return qkv_flash_attention(x, w, bias, heads, scale,
+                                       quant_int8=quant_int8)
         except Exception as e:
             _warn_fallback("qkv_flash_attention", e)
-    from endodav_tpu.ops.quant import int8_dense, int8_enabled
+    from endodav_tpu.ops.quant import int8_dense
 
-    if int8_enabled():
+    if quant_int8:
         qkv = int8_dense(x, w, bias, out_dtype=x.dtype)
     else:
         qkv = jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())))

@@ -17,7 +17,9 @@ checkpoint machinery:
   * accumulation in int32 on the MXU (`preferred_element_type`),
   * f32 rescale epilogue `acc * x_scale * w_scale (+ bias)`.
 
-Scope: opt-in via ``ENDODAV_INT8=1`` and applied ONLY to the token-space
+Scope: opt-in via the model config (``EndoDAV(int8_serving=True)``,
+threaded by the engine; ``ENDODAV_INT8`` env var as explicit override
+only — see `resolve_int8`) and applied ONLY to the token-space
 ViT projections (block MLP fc1/fc2, fused-qkv, attention out-proj) —
 the layers whose GEMMs are large enough to ride the int8 MXU rate.  The
 attention score/value matmuls, temporal modules, DPT convs and every
@@ -48,17 +50,33 @@ import jax.numpy as jnp
 
 from endodav_tpu.utils.envflags import env_on  # canonical home; re-exported
 
-__all__ = ["env_on", "int8_enabled", "int8_dense", "quantize_weight"]
+__all__ = ["env_on", "int8_enabled", "resolve_int8", "int8_dense",
+           "quantize_weight"]
+
+
+def resolve_int8(flag: bool | None = None) -> bool:
+    """Whether the current trace serves int8 GEMMs.
+
+    ``flag`` is the decision threaded through the model config
+    (``EndoDAV(int8_serving=...)`` -> ``DinoViT(quant_int8=...)`` -> the
+    attention/MLP modules) — the engine sets it per MODEL, so a vitl
+    auto-default can never leak into another engine built later in the
+    same process.  An EXPLICITLY SET ``ENDODAV_INT8`` env var overrides
+    it either way (the A/B switch: ``=1`` forces on, ``=0`` forces off);
+    no library code writes the env var.
+    """
+    if "ENDODAV_INT8" in os.environ:
+        return env_on("ENDODAV_INT8")
+    return bool(flag)
 
 
 def int8_enabled() -> bool:
-    """True when the serving process opted into the int8 GEMM path.
-
-    Training processes are guarded upstream: the Trainer strips the flag
-    from the environment at init (round() has zero gradient — see module
-    docstring).
+    """Env-only view of the int8 switch (no model-threaded flag in
+    scope).  Training processes are guarded upstream: the Trainer strips
+    the flag from the environment at init (round() has zero gradient —
+    see module docstring).
     """
-    return env_on("ENDODAV_INT8")
+    return resolve_int8(None)
 
 
 def quantize_weight(w: jnp.ndarray):

@@ -263,7 +263,7 @@ class TPDedupWindowForward:
         self._n_taps = len(take)
         self._head_cache: dict = {}
         self._encode_jits: dict = {}
-        self._known: set = set()
+        self._known: tuple = ()
         self.update_weights(variables)
 
     # -------------------------------------------------- weight placement
@@ -284,10 +284,18 @@ class TPDedupWindowForward:
         hv = {"params": {"head": variables["params"]["head"]}, **extras}
         self._head_specs = jax.tree.map(lambda _: P(), hv)
         self._head_vars = put(hv, self._head_specs)
-        self._known = {id(variables), id(self.variables)}
+        # STRONG references, compared by identity in _sync.  Keying on
+        # bare id()s is the recycling hazard the comment at the bottom of
+        # eval/video_inference.py documents: once the caller's raw tree
+        # is garbage-collected, a newly built weights dict can land on
+        # the recycled id and _sync would silently skip update_weights,
+        # serving stale sharded weights (round-4 advisor).  Holding the
+        # objects makes an id collision impossible; the cost is one extra
+        # reference to arrays the caller holds anyway.
+        self._known = (variables, self.variables)
 
     def _sync(self, v):
-        if v is not None and id(v) not in self._known:
+        if v is not None and not any(v is k for k in self._known):
             self.update_weights(v)
 
     # ------------------------------------------------------------ encode

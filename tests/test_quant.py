@@ -167,8 +167,11 @@ def test_lora_variants_ignore_quant_flag(monkeypatch):
 
 def test_vitl_merged_serving_defaults_int8(monkeypatch):
     """depth_window_forward must auto-enable the int8 serving GEMMs for
-    the vitl MERGED graph (round-4 device A/B: +9%), leave vits alone,
-    and honor an explicit ENDODAV_INT8=0 opt-out."""
+    the vitl MERGED graph (round-4 device A/B: +9%) by cloning the MODEL
+    with int8_serving=True — never by mutating os.environ (the round-4
+    advisor finding: a process-global write leaked the vitl default into
+    vits engines built later) — leave vits alone, and honor an explicit
+    ENDODAV_INT8=0 opt-out."""
     import os
 
     from endodav_tpu.eval.engine import depth_window_forward
@@ -178,24 +181,71 @@ def test_vitl_merged_serving_defaults_int8(monkeypatch):
         lora_type = "none"
         image_shape = (28, 28)
 
+        def clone(self, **updates):
+            out = Stub()
+            out.encoder = self.encoder
+            out.lora_type = self.lora_type
+            vars(out).update(updates)
+            return out
+
     monkeypatch.setenv("ENDODAV_SCAN_TRUNK", "0")
     monkeypatch.setenv("ENDODAV_SPLIT_COMPILE", "0")
-    # NOTE: the engine SETS the var itself; monkeypatch can only restore
-    # what it changed, so clean up explicitly to avoid leaking int8 into
-    # later same-process tests
-    try:
-        os.environ.pop("ENDODAV_INT8", None)
-        depth_window_forward(Stub(), {}, "endodav")
-        assert os.environ.get("ENDODAV_INT8") == "1"
+    monkeypatch.delenv("ENDODAV_INT8", raising=False)
 
-        os.environ["ENDODAV_INT8"] = "0"
-        depth_window_forward(Stub(), {}, "endodav")
-        assert os.environ.get("ENDODAV_INT8") == "0"  # opt-out respected
+    captured = {}
 
-        os.environ.pop("ENDODAV_INT8", None)
-        vits = Stub()
-        vits.encoder = "vits"
-        depth_window_forward(vits, {}, "endodav")
-        assert "ENDODAV_INT8" not in os.environ  # vits untouched
-    finally:
-        os.environ.pop("ENDODAV_INT8", None)
+    class Recorder(Stub):
+        def clone(self, **updates):
+            captured.update(updates)
+            return super().clone(**updates)
+
+    depth_window_forward(Recorder(), {}, "endodav")
+    assert captured == {"int8_serving": True}
+    assert "ENDODAV_INT8" not in os.environ  # no env mutation, ever
+
+    # explicit env override (either value) suppresses the auto-clone
+    captured.clear()
+    monkeypatch.setenv("ENDODAV_INT8", "0")
+    depth_window_forward(Recorder(), {}, "endodav")
+    assert captured == {}
+    monkeypatch.delenv("ENDODAV_INT8", raising=False)
+
+    # vits untouched
+    captured.clear()
+    vits = Recorder()
+    vits.encoder = "vits"
+    depth_window_forward(vits, {}, "endodav")
+    assert captured == {}
+    assert "ENDODAV_INT8" not in os.environ
+
+
+def test_resolve_int8_env_overrides_model_flag(monkeypatch):
+    """Resolution order: explicitly set env wins both ways; otherwise the
+    model-threaded flag decides; default off."""
+    from endodav_tpu.ops.quant import resolve_int8
+
+    monkeypatch.delenv("ENDODAV_INT8", raising=False)
+    assert resolve_int8(None) is False
+    assert resolve_int8(False) is False
+    assert resolve_int8(True) is True
+    monkeypatch.setenv("ENDODAV_INT8", "0")
+    assert resolve_int8(True) is False  # env forces off
+    monkeypatch.setenv("ENDODAV_INT8", "1")
+    assert resolve_int8(False) is True  # env forces on
+
+
+def test_endodav_int8_serving_field_scoped(tiny_endodav_out, monkeypatch):
+    """EndoDAV(int8_serving=True) reroutes the trunk GEMMs with NO env
+    state, and a second plain model in the same process is unaffected
+    (the scoping the round-4 advisor asked for)."""
+    m, variables, x = tiny_endodav_out
+    monkeypatch.delenv("ENDODAV_INT8", raising=False)
+    d_bf16 = np.asarray(m.apply(variables, x)[("disp", 0)], np.float32)
+    m8 = m.clone(int8_serving=True)
+    d_int8 = np.asarray(m8.apply(variables, x)[("disp", 0)], np.float32)
+    diff = np.abs(d_int8 - d_bf16)
+    assert diff.max() > 0, "int8_serving did not reroute any GEMM"
+    assert diff.max() < 0.05, diff.max()
+    # same process, plain model again: bit-identical to the first run
+    d_again = np.asarray(m.apply(variables, x)[("disp", 0)], np.float32)
+    np.testing.assert_array_equal(d_again, d_bf16)

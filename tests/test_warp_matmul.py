@@ -359,3 +359,26 @@ def test_dispatch_env_override(monkeypatch):
     assert sampling._use_mm_kernel(256, 320, 3) == expect
     # over-VMEM image must fall back regardless of backend
     assert not sampling._use_mm_kernel(2048, 2048, 3)
+
+
+def test_env_override_validation(monkeypatch):
+    """ENDODAV_WARP_LW / ENDODAV_WARP_PB are A/B knobs read unvalidated
+    before round 5: a non-128-multiple lane window broke the kernels'
+    pl.multiple_of alignment promise SILENTLY (wrong outputs, not an
+    error).  Bad values must raise at read time."""
+    from endodav_tpu.kernels import warp_matmul as wm
+
+    monkeypatch.setenv("ENDODAV_WARP_LW", "200")
+    with pytest.raises(ValueError, match="ENDODAV_WARP_LW"):
+        wm._lane_window(3)
+    monkeypatch.setenv("ENDODAV_WARP_LW", "0")
+    with pytest.raises(ValueError, match="ENDODAV_WARP_LW"):
+        wm._lane_window(3)
+    monkeypatch.setenv("ENDODAV_WARP_LW", "384")
+    assert wm._lane_window(3) == 384
+
+    monkeypatch.setenv("ENDODAV_WARP_PB", "192")
+    with pytest.raises(ValueError, match="ENDODAV_WARP_PB"):
+        wm._pick_pb(3)
+    monkeypatch.setenv("ENDODAV_WARP_PB", "256")
+    assert wm._pick_pb(3, backward=True) == 256
