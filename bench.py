@@ -197,45 +197,41 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
 
         idx = vi.window_indices(n_frames)
         nw = idx.shape[0]
-        pad_to = math.ceil(nw / chunk_windows) * chunk_windows
-        idx_p = np.concatenate(
-            [idx, np.repeat(idx[-1:], pad_to - nw, axis=0)], axis=0)
-        fb = dedup.batch_frames
+        fb = dedup.encode_batch_for(n_frames)
         n_fpad = math.ceil(n_frames / fb) * fb
         # pre-stage the encode batches and gather indices on device so the
         # timed loop measures device work, not per-dispatch relay hops
-        # (~20 ms each through this environment's tunnel)
+        # (~20 ms each through this environment's tunnel).  The last
+        # chunk is TRIMMED to the window remainder, exactly like the
+        # shipped driver (infer_video_depth) — padding it re-ran up to
+        # cw-1 dummy windows (25% of the 186-frame clip's head work at
+        # cw=4) and under-reported the pipeline the users actually get.
         batches = [jnp.asarray(rng.uniform(0, 1, (fb, th, tw, 3)).astype(np.float32))
                    for _ in range(n_fpad // fb)]
-        widx_dev = [jnp.asarray(idx_p[c0:c0 + chunk_windows].reshape(-1))
-                    for c0 in range(0, pad_to, chunk_windows)]
+        widx_dev = [jnp.asarray(idx[c0:c0 + chunk_windows].reshape(-1))
+                    for c0 in range(0, nw, chunk_windows)]
         device_sync([batches, widx_dev])
         head = dedup.head_for(*src_hw, np.float16)
 
         def run_dedup():
-            toks, clss = [], []
-            for batch in batches:
-                t4, c4 = dedup.encode(variables, batch)
-                toks.append(t4)
-                clss.append(c4)
-            tokens_all = jnp.concatenate(toks, axis=0)
-            cls_all = jnp.concatenate(clss, axis=0)
-            outs = [head(variables,
-                         jnp.take(tokens_all, w, axis=0),
-                         jnp.take(cls_all, w, axis=0))
-                    for w in widx_dev]
+            parts = [dedup.encode(variables, batch) for batch in batches]
+            maps_all = tuple(ms[0] if len(ms) == 1 else jnp.concatenate(ms, axis=0)
+                             for ms in zip(*parts))
+            outs = [head(variables, w, *maps_all) for w in widx_dev]
             device_sync(outs[-1])
-            return tokens_all, cls_all
+            return maps_all
 
-        tokens_all, cls_all = run_dedup()
+        maps_all = run_dedup()
         reps = 3
         t0 = time.time()
         for _ in range(reps):
             run_dedup()
         per_clip = (time.time() - t0) / reps
         result["fps_compute_dedup"] = n_frames / per_clip
-        # same-units comparison: the window path runs pad_to*32 slots at
+        # same-units comparison: the window path (which pads windows to
+        # full chunks) runs pad_to*32 slots at
         # fps_compute slots/s for this clip
+        pad_to = math.ceil(nw / chunk_windows) * chunk_windows
         win_eff = n_frames / (pad_to * 32 / result["fps_compute"])
         result["fps_compute_window_effective"] = win_eff
 
@@ -245,9 +241,7 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
         try:
             enc_flops = float(dedup._encode_c.lower(variables, batches[0])
                               .compile().cost_analysis()["flops"])
-            hd_args = (variables,
-                       jnp.take(tokens_all, widx_dev[0], axis=0),
-                       jnp.take(cls_all, widx_dev[0], axis=0))
+            hd_args = (variables, widx_dev[0], *maps_all)
             head_flops = float(head.lower(*hd_args)
                                .compile().cost_analysis()["flops"])
             flops_clip = enc_flops * len(batches) + head_flops * len(widx_dev)
@@ -257,7 +251,7 @@ def bench_config(name, *, src_hw, image_shape, n_frames, chunk_windows,
             log(f"[{name}] dedup cost_analysis unavailable ({type(e).__name__})")
         log(f"[{name}] compute-only dedup (unique-frame encode): "
             f"{result['fps_compute_dedup']:.1f} frames/s for the {n_frames}-frame clip "
-            f"({n_fpad} encodes vs {pad_to * 32} window slots; window path "
+            f"({n_fpad} encodes vs {nw * 32} window slots; window path "
             f"effective {win_eff:.1f} frames/s"
             + (f"; MFU {100*result['mfu_compute_dedup']:.1f}% at "
                f"{result['gflops_per_frame_dedup']:.1f} GFLOP/source-frame"

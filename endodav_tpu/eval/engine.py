@@ -77,6 +77,31 @@ def build_depth_model(opt):
     model = mods["depth_model"]
     variables = None
     dash_phase2 = False
+    if opt.load_weights_folder and opt.model_type == "afsfm":
+        # reference convention: the afsfm model ships as TWO per-component
+        # torch files, encoder.pth + depth.pth (evaluate_depth.py:67-70,
+        # test_simple.py) — converted subtree-by-subtree onto AFSfMDepth's
+        # {encoder, depth} params (native depth_model.msgpack still wins).
+        folder = os.path.expanduser(opt.load_weights_folder)
+        native = os.path.join(folder, "depth_model.msgpack")
+        enc_pth = os.path.join(folder, "encoder.pth")
+        dec_pth = os.path.join(folder, "depth.pth")
+        if os.path.exists(native):
+            variables = ckpt.load_pytree(native, _init_depth_variables(model, opt))
+        elif os.path.exists(enc_pth) or os.path.exists(dec_pth):
+            variables = _init_depth_variables(model, opt)
+            cols = {c: dict(t) for c, t in variables.items()}
+            for path, comp, sub in ((enc_pth, "resnet_encoder", "encoder"),
+                                    (dec_pth, "decoder", "depth")):
+                if not os.path.exists(path):
+                    continue
+                sv = {c: t[sub] for c, t in cols.items() if sub in t}
+                sv, report = ckpt.torch_to_flax(ckpt.load_torch_file(path), comp, sv)
+                for c, t in sv.items():
+                    cols[c][sub] = t
+                print(f"[eval] converted {len(report['used'])} tensors from {path}")
+            variables = cols
+        return model, variables if variables is not None else _init_depth_variables(model, opt)
     if opt.load_weights_folder:
         folder = os.path.expanduser(opt.load_weights_folder)
         native = os.path.join(folder, "depth_model.msgpack")
@@ -141,6 +166,10 @@ def _init_depth_variables(model, opt):
     key = jax.random.PRNGKey(0)
     if opt.model_type == "endodav":
         return jax.jit(model.init)(key, jnp.zeros((1, 2, h, w, 3)))
+    if opt.model_type == "afsfm":
+        # no internal resize: the U-Net consumes images at the dataset
+        # resolution, which must divide the ResNet's /32 stride chain
+        h, w = opt.height, opt.width
     return jax.jit(model.init)(key, jnp.zeros((1, h, w, 3)))
 
 

@@ -93,7 +93,7 @@ class DepthStreamer:
             raise ValueError("DepthStreamer dedup mode needs a "
                              "DedupWindowForward built with `variables`")
         self._frames: dict[int, np.ndarray] = {}   # source idx -> frame
-        self._taps: dict[int, tuple] = {}          # source idx -> (tok, cls)
+        self._taps: dict[int, tuple] = {}          # source idx -> prefix maps
         self._n_pushed = 0
         self._win = 0                              # next window ordinal
         self._prev_idx: np.ndarray | None = None   # prev window's 32 src indices
@@ -137,11 +137,15 @@ class DepthStreamer:
     def _fire_window(self, n_clamp: int) -> list[np.ndarray]:
         idx = self._window_idx(n_clamp)
         if self._dedup is not None:
-            # per-window critical path: just the temporal DPT head over
-            # the 32 gathered tap rows (every encode already ran at push)
-            tok = jnp.concatenate([self._taps[i][0] for i in idx], axis=0)
-            cls = jnp.concatenate([self._taps[i][1] for i in idx], axis=0)
-            out = np.asarray(self._head(self._dedup.variables, tok, cls),
+            # per-window critical path: just the temporal DPT suffix over
+            # the 32 gathered prefix-map rows (every encode already ran
+            # at push — trunk AND per-frame DPT prefix, round 5).  The
+            # window rows are already concatenated in slot order, so the
+            # head's in-jit gather gets the identity index vector.
+            maps = tuple(jnp.concatenate(ms, axis=0)
+                         for ms in zip(*(self._taps[i] for i in idx)))
+            out = np.asarray(self._head(self._dedup.variables,
+                                        jnp.arange(INFER_LEN), *maps),
                              dtype=np.float32)              # [T, fh, fw]
         else:
             win_u8 = np.stack([self._frames[i] for i in idx], axis=0)
@@ -203,7 +207,7 @@ class DepthStreamer:
                     x = x / 255.0
             dev = self._pre(jnp.asarray(x[None]))            # [1, th, tw, 3]
             self._taps[self._n_pushed] = self._dedup.encode(
-                self._dedup.variables, dev)                  # ([1,K,N,C], [1,K,C])
+                self._dedup.variables, dev)   # per-frame prefix-map tuple
         else:
             self._frames[self._n_pushed] = frame
         self._n_pushed += 1

@@ -56,20 +56,35 @@ class DedupWindowForward:
 
     This object holds the two jitted pieces of the dedup pipeline:
 
-      encode(v, batch):  [fb, h, w, 3] -> (tokens [fb, K, N, C],
-                         cls [fb, K, C]) — the K intermediate taps of
-                         each frame, packed into two arrays so the
-                         per-window gather is two `jnp.take` dispatches.
-      head_for(fh, fw, out_dtype) -> head(v, tokens, cls):
-                         gathered window taps -> decode -> full-res
-                         upsample -> cast, one jit per output shape.
+      encode(v, batch):  [fb, h, w, 3] -> tuple of per-frame DPT prefix
+                         maps (layer_1_rn, layer_2_rn, layer_3, layer_4
+                         — models/dpt.py:DPTDecoder.prefix).  The trunk
+                         AND the head's per-frame front half (tap
+                         projections, resize stages, layer1/2 rn convs)
+                         run once per unique frame; before round 5 only
+                         the trunk deduped and the prefix re-ran per
+                         window slot (~2x duplicate work, measured
+                         ~14 ms of a 128-slot 518px head chunk) plus a
+                         9 ms/chunk tap-unpack slice.
+      head_for(fh, fw, out_dtype) -> head(v, widx, *maps):
+                         per-window slot indices + the FULL per-frame
+                         prefix maps -> in-jit gather -> temporal suffix
+                         (decode_suffix) -> full-res upsample -> cast,
+                         one jit per output shape.  The gather lives
+                         INSIDE the jit: as standalone dispatches the
+                         four map gathers measured ~226 ms/chunk on
+                         device (layout mismatch between the concat
+                         outputs and the gather's preference + 4 eager
+                         hops), vs ~50 ms fused into the head where XLA
+                         owns both layouts.
 
     `infer_video_depth(..., dedup=...)` drives them: all unique frames
     encode in fixed [batch_frames]-sized batches (static shapes — one
-    trunk compile total), the packed taps concatenate once, and each
-    window chunk gathers its 32 rows per window before the head jit.
-    The gathered taps are exact copies of what the window path's encode
-    would produce, so outputs are bit-comparable to the window pipeline.
+    encode compile total), each prefix map concatenates once, and each
+    window chunk passes its 32 slot indices per window to the head jit.
+    The gathered maps are exact copies of what the window path computes
+    at the same graph point, so outputs are bit-comparable to the window
+    pipeline up to XLA fusion-order drift across the jit boundary.
 
     Weights travel as jit ARGUMENTS (`variables` is only a default,
     never a closure constant) — one trace serves every epoch's weights,
@@ -77,13 +92,22 @@ class DedupWindowForward:
     """
 
     def __init__(self, model, variables=None, batch_frames: int = INFER_LEN):
-        from endodav_tpu.models.endodav import ENDODAV_CONFIGS
+        from endodav_tpu.models.endodav import (ENDODAV_CONFIGS,
+                                                prefix_map_shapes)
         from endodav_tpu.utils.envflags import env_auto
 
         self.variables = variables
         self.batch_frames = int(batch_frames)
         take = ENDODAV_CONFIGS[model.encoder]["intermediate"]
-        self._n_taps = len(take)
+        # maps travel FLATTENED between the encode and head jits — see
+        # prefix_map_shapes (2x lane-padding + per-chunk relayouts at the
+        # 4D boundary measured ~600 ms/clip on device, round 5)
+        self._map_shapes = prefix_map_shapes(model)
+
+        def flat(maps):
+            assert tuple(m.shape[1:] for m in maps) == self._map_shapes, (
+                tuple(m.shape[1:] for m in maps), self._map_shapes)
+            return tuple(m.reshape(m.shape[0], -1) for m in maps)
 
         # scan trunk AUTO-ON at vitl (engine.py "vitl AUTO-DEFAULT")
         if env_auto("ENDODAV_SCAN_TRUNK", model.encoder == "vitl"):
@@ -99,15 +123,13 @@ class DedupWindowForward:
             def encode_c(v, batch):
                 x = model.preprocess(batch[None])
                 taps = scan_trunk_apply(vit, v["params"]["pretrained"], x, take)
-                return (jnp.stack([t for t, _ in taps], axis=1),
-                        jnp.stack([c for _, c in taps], axis=1))
+                return flat(model.apply(v, taps, method="decode_prefix"))
         else:
 
             @jax.jit
             def encode_c(v, batch):
                 taps = model.apply(v, batch[None], method="encode")
-                return (jnp.stack([t for t, _ in taps], axis=1),
-                        jnp.stack([c for _, c in taps], axis=1))
+                return flat(model.apply(v, taps, method="decode_prefix"))
 
         self._encode_c = encode_c
         self._model = model
@@ -116,16 +138,30 @@ class DedupWindowForward:
     def encode(self, v, batch):
         return self._encode_c(v, batch)
 
+    def encode_batch_for(self, n_frames: int) -> int:
+        """Encode batch size for an n-frame clip.  Device sweep (518px,
+        round 5): fb=32/64/96/192 -> 790/784/762/755 ms clip — larger
+        trunk batches fill the chip; fb=128 LOSES (209.7 fps) because
+        186 frames pad to 256.  96 is within 1% of the best with
+        bounded padding; clips shorter than 96 keep the constructor's
+        granularity (the encode jit compiles once per distinct size)."""
+        return 96 if n_frames >= 96 else self.batch_frames
+
     def head_for(self, fh: int, fw: int, out_dtype):
         key = (fh, fw, np.dtype(out_dtype).name)
         head = self._head_cache.get(key)
         if head is None:
-            model, k = self._model, self._n_taps
+            model, shapes = self._model, self._map_shapes
 
             @jax.jit
-            def head(v, tokens, cls):
-                taps = [(tokens[:, i], cls[:, i]) for i in range(k)]
-                disp = model.apply(v, taps, INFER_LEN, method="decode")[("disp", 0)]
+            def head(v, widx, *maps):
+                # gather flat rows, then unflatten on the (small)
+                # gathered arrays inside this jit
+                gathered = tuple(
+                    jnp.take(m, widx, axis=0).reshape(-1, *shp)
+                    for m, shp in zip(maps, shapes))
+                disp = model.apply(v, gathered, INFER_LEN,
+                                   method="decode_suffix")[("disp", 0)]
                 disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
                 return disp[..., 0].astype(out_dtype)
 
@@ -192,6 +228,28 @@ def split_compiled_forward(trunk, make_head):
 
 # Stitch kernels capture no model state — keyed on shapes alone.
 _STITCH_FN_CACHE: dict = {}
+
+# Upload-preprocess jits capture no model state — keyed on shapes alone.
+_PRE_FN_CACHE: dict = {}
+
+
+def _pre_fn(th: int, tw: int, scale: float):
+    """Jitted slab preprocess: raw frames (uint8 or float) -> f32 in
+    [0,1] -> device bicubic keep-aspect resize.  `scale` is the host-
+    decided normalization divisor (255 for uint8 / 0-255 floats, 1 for
+    already-normalized floats) — static so each variant compiles once."""
+    key = (th, tw, float(scale))
+    pre = _PRE_FN_CACHE.get(key)
+    if pre is None:
+        @jax.jit
+        def pre(slab):
+            x = slab.astype(jnp.float32)
+            if scale != 1.0:
+                x = x / scale
+            return resize2d(x, (th, tw), "bicubic", align_corners=False)
+
+        _PRE_FN_CACHE[key] = pre
+    return pre
 
 # Jitted chunk pipelines capture the forward closure (and through it the
 # model variables), so they are cached PER CLOSURE OBJECT, held weakly.
@@ -450,13 +508,18 @@ def infer_video_depth(
     n, fh, fw, _ = frames.shape
     th, tw = keep_aspect_size(fh, fw, *image_shape)
 
+    # Upload in SLABS instead of one clip-sized put: the first compute
+    # dispatch used to wait on the full ~180 MB H2D (round-4 VERDICT
+    # weak #4 — e2e ~= upload + compute instead of max(upload, compute)).
+    # Each slab is an async device_put of raw frames (uint8 rides 4x
+    # smaller than f32) followed by a jitted normalize+bicubic resize;
+    # encode/window work on early slabs overlaps the later transfers.
     if frames.dtype == np.uint8:
-        frames_dev = jnp.asarray(frames).astype(jnp.float32) / 255.0
+        scale = 255.0
     else:
-        frames_dev = jnp.asarray(frames.astype(np.float32))
-        if float(frames.max()) > 1.5:
-            frames_dev = frames_dev / 255.0
-    frames_dev = resize2d(frames_dev, (th, tw), "bicubic", align_corners=False)
+        frames = np.asarray(frames, np.float32)
+        scale = 255.0 if float(frames.max()) > 1.5 else 1.0
+    pre = _pre_fn(th, tw, scale)
 
     idx = window_indices(n)
     num_windows = idx.shape[0]
@@ -473,21 +536,23 @@ def infer_video_depth(
                  and not env_on("ENDODAV_NO_DEDUP"))
     if use_dedup:
         dv = variables if variables is not None else dedup.variables
-        fb = dedup.batch_frames
+        fb = dedup.encode_batch_for(n)
         n_fpad = math.ceil(n / fb) * fb
         pad_fidx = np.minimum(np.arange(n_fpad), n - 1)
-        toks, clss = [], []
+        parts: list[tuple] = []
         for b0 in range(0, n_fpad, fb):
-            batch = jnp.take(frames_dev, jnp.asarray(pad_fidx[b0 : b0 + fb]), axis=0)
-            t4, c4 = dedup.encode(dv, batch)
-            toks.append(t4)
-            clss.append(c4)
-        tokens_all = toks[0] if len(toks) == 1 else jnp.concatenate(toks, axis=0)
-        cls_all = clss[0] if len(clss) == 1 else jnp.concatenate(clss, axis=0)
-        # the source frames are fully consumed once encoded — release the
-        # [n, th, tw, 3] f32 buffer (4 MB/frame at 518px) so long clips
-        # hold only the packed taps (~5.2 MB/frame bf16 at 518px)
-        del frames_dev, toks, clss
+            # slab upload -> preprocess -> encode, all dispatched async:
+            # slab k+1's H2D overlaps slab k's encode on device (full
+            # slabs ride zero-copy views; only the clamp-padded tail
+            # fancy-indexes)
+            sl = (frames[b0 : b0 + fb] if b0 + fb <= n
+                  else frames[pad_fidx[b0 : b0 + fb]])
+            parts.append(dedup.encode(dv, pre(jax.device_put(
+                np.ascontiguousarray(sl)))))
+        maps_all = tuple(
+            ms[0] if len(ms) == 1 else jnp.concatenate(ms, axis=0)
+            for ms in zip(*parts))
+        del parts  # frames stay host-side; only the prefix maps live on device
         head = dedup.head_for(fh, fw, chunk_dtype)
         pending = []
         # no window padding: the last chunk is TRIMMED to the remainder
@@ -496,8 +561,7 @@ def infer_video_depth(
         # 186-frame bench clip is 9 windows, which padded to 12 at cw=4)
         for c0 in range(0, num_windows, chunk_windows):
             widx = jnp.asarray(idx[c0 : c0 + chunk_windows].reshape(-1))
-            pending.append(head(dv, jnp.take(tokens_all, widx, axis=0),
-                                jnp.take(cls_all, widx, axis=0)))
+            pending.append(head(dv, widx, *maps_all))
         if stitch == "device":
             return _device_stitch(pending, num_windows, n, fh, fw, transfer_dtype)
         depth_windows = np.concatenate(
@@ -518,10 +582,33 @@ def infer_video_depth(
             "chunk_windows must be a multiple of the mesh 'data' axis"
         )
         shard = data_sharding(mesh)
+
+    # slab uploads (async) + a growing device-side prefix: chunk c only
+    # waits for the slabs its window indices reach (windows progress
+    # forward and keyframe carries only reach BACK, so the needed prefix
+    # length is monotone — one cached concat, rebuilt as it grows)
+    sb = INFER_LEN
+    n_spad = math.ceil(n / sb) * sb
+    pad_sidx = np.minimum(np.arange(n_spad), n - 1)
+    slabs = [pre(jax.device_put(np.ascontiguousarray(
+        frames[s0 : s0 + sb] if s0 + sb <= n
+        else frames[pad_sidx[s0 : s0 + sb]])))
+        for s0 in range(0, n_spad, sb)]
+    prefix_k, prefix_buf = 0, None
+
+    def frames_upto(k: int):
+        nonlocal prefix_k, prefix_buf
+        if k > prefix_k:
+            prefix_buf = slabs[0] if k == 1 else jnp.concatenate(slabs[:k], axis=0)
+            prefix_k = k
+        return prefix_buf
+
     pending = []
     for c0 in range(0, pad_to, chunk_windows):
-        widx = jnp.asarray(idx_padded[c0 : c0 + chunk_windows].reshape(-1))
-        win = jnp.take(frames_dev, widx, axis=0).reshape(chunk_windows, INFER_LEN, th, tw, 3)
+        w_np = idx_padded[c0 : c0 + chunk_windows].reshape(-1)
+        buf = frames_upto(int(w_np.max()) // sb + 1)
+        win = jnp.take(buf, jnp.asarray(w_np), axis=0).reshape(
+            chunk_windows, INFER_LEN, th, tw, 3)
         if shard is not None:
             win = jax.device_put(win, shard)
         out = run(win)

@@ -371,6 +371,50 @@ def _fwd_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, o_ref, *,
         full()
 
 
+def _fwd_kernel_cp(band_ref, lane_ref, ok_ref, c_ref, img_ref, o_ref, *,
+                   C: int, pb: int, banded: bool, lw):
+    """Channel-plane forward: img travels as C separate [H, W] planes
+    ([1, C, H, Wp] block) instead of interleaved [H, W*C] lanes.
+
+    Why (round-5, the round-4 profile's named candidate): the kernels
+    are VPU mask-build bound, and the interleaved layout builds its
+    x-masks on a [W*C(-window), pb] grid with per-channel `% C`
+    selection chains — 3x the mask area at C=3, plus the mod work.  In
+    channel planes the x grid is [W(-window), pb], the masks build ONCE
+    with C=1 semantics and are SHARED by all C plane matmuls, and the
+    lane window shrinks to a single 128-lane vreg."""
+    bi, pi = pl.program_id(0), pl.program_id(1)
+    start = pi * pb
+    y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
+    H, W = img_ref.shape[2], img_ref.shape[3]
+
+    def run(rows, row0, wlanes, l0, img_at):
+        ohyt = _ohyt(y0, y1, wy0, wy1, rows, pb, row0)
+        ohx = _ohxt(x0, x1, wx0, wx1, wlanes, pb, 1, l0)
+        o_ref[0, :, pl.ds(start, pb)] = jnp.concatenate(
+            [jnp.sum(_dot3(img_at(c), ohyt, ((0,), (0,))) * ohx,
+                     axis=0, keepdims=True) for c in range(C)], axis=0)
+
+    if banded:
+        row0 = pl.multiple_of(band_ref[bi, pi], 8)
+
+        @pl.when(ok_ref[bi, pi] != 0)
+        def _banded():
+            if lw is None:
+                run(_BAND, row0, W, 0,
+                    lambda c: img_ref[0, c, pl.ds(row0, _BAND), :])
+            else:
+                l0 = pl.multiple_of(lane_ref[bi, pi], _LANE)
+                run(_BAND, row0, lw, l0,
+                    lambda c: img_ref[0, c, pl.ds(row0, _BAND), pl.ds(l0, lw)])
+
+        @pl.when(ok_ref[bi, pi] == 0)
+        def _full():
+            run(H, 0, W, 0, lambda c: img_ref[0, c])
+    else:
+        run(H, 0, W, 0, lambda c: img_ref[0, c])
+
+
 # --------------------------------------------------------------- backward
 
 def _g_t(g, wc, pb, C, l0=0, il=None):
@@ -515,15 +559,162 @@ def _bwd_fused_kernel(band_ref, lane_ref, ok_ref, c_ref, img_ref, g_ref,
         core(img_ref[0], H, 0, WC, 0, wr)
 
 
+def _bwd_fused_kernel_cp(band_ref, lane_ref, ok_ref, c_ref, img_ref, g_ref,
+                         dw_ref, dimg_ref, *, C: int, pb: int, banded: bool,
+                         lw):
+    """Channel-plane fused backward (see _fwd_kernel_cp): the y one-hots
+    AND the x masks build once and are shared by every channel's corner
+    samples / grads; the cotangent expansion is a plain per-plane
+    broadcast instead of the interleaved `% C` selection."""
+    bi, pi = pl.program_id(0), pl.program_id(1)
+    start = pi * pb
+    y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
+    H, W = img_ref.shape[2], img_ref.shape[3]
+
+    @pl.when(pi == 0)
+    def _init():
+        dimg_ref[0] = jnp.zeros((C, H, dimg_ref.shape[3]), dimg_ref.dtype)
+
+    def core(rows, row0, wlanes, l0, img_at, dimg_write):
+        ior = jax.lax.broadcasted_iota(jnp.int32, (rows, pb), 0)
+        oh0 = (ior == y0.astype(jnp.int32) - row0).astype(jnp.float32)
+        oh1 = (ior == y1.astype(jnp.int32) - row0).astype(jnp.float32)
+        il = jax.lax.broadcasted_iota(jnp.int32, (wlanes, pb), 0)
+        m0 = _xmask(il, x0, 1, l0).astype(jnp.float32)
+        m1 = _xmask(il, x1, 1, l0).astype(jnp.float32)
+        wxm = wx0 * m0 + wx1 * m1
+        ohyt = wy0 * oh0 + wy1 * oh1
+        sums = None
+        for c in range(C):
+            img = img_at(c)
+            r0 = _dot2_onehot(img, oh0, ((0,), (0,)))  # [wlanes, pb]
+            r1 = _dot2_onehot(img, oh1, ((0,), (0,)))
+            g = jnp.broadcast_to(
+                g_ref[0, c:c + 1, pl.ds(start, pb)].astype(jnp.float32),
+                (wlanes, pb))
+            dr = g * wxm
+            gr = g * (wy0 * r0 + wy1 * r1)
+            term = jnp.concatenate([
+                jnp.sum(dr * r0, axis=0, keepdims=True),
+                jnp.sum(dr * r1, axis=0, keepdims=True),
+                jnp.sum(gr * m0, axis=0, keepdims=True),
+                jnp.sum(gr * m1, axis=0, keepdims=True),
+            ], axis=0)
+            sums = term if sums is None else sums + term
+            dimg_write(c, _dot3(ohyt, dr, ((1,), (1,))).astype(dimg_ref.dtype))
+        dw_ref[0, :, pl.ds(start, pb)] = sums
+
+    if banded:
+        row0 = pl.multiple_of(band_ref[bi, pi], 8)
+
+        @pl.when(ok_ref[bi, pi] != 0)
+        def _banded():
+            if lw is None:
+                def wr(c, upd):
+                    dimg_ref[0, c, pl.ds(row0, _BAND), :] += upd
+                core(_BAND, row0, W, 0,
+                     lambda c: img_ref[0, c, pl.ds(row0, _BAND), :], wr)
+            else:
+                l0 = pl.multiple_of(lane_ref[bi, pi], _LANE)
+
+                def wr(c, upd):
+                    dimg_ref[0, c, pl.ds(row0, _BAND), pl.ds(l0, lw)] += upd
+                core(_BAND, row0, lw, l0,
+                     lambda c: img_ref[0, c, pl.ds(row0, _BAND),
+                                       pl.ds(l0, lw)], wr)
+
+        @pl.when(ok_ref[bi, pi] == 0)
+        def _full():
+            def wr(c, upd):
+                dimg_ref[0, c] += upd
+            core(H, 0, W, 0, lambda c: img_ref[0, c], wr)
+    else:
+        def wr(c, upd):
+            dimg_ref[0, c] += upd
+        core(H, 0, W, 0, lambda c: img_ref[0, c], wr)
+
+
+def _bwd_coord_kernel_cp(band_ref, lane_ref, ok_ref, c_ref, img_ref, g_ref,
+                         dw_ref, *, C: int, pb: int, banded: bool, lw):
+    """Channel-plane coord-only backward (img_grad=False callers)."""
+    bi, pi = pl.program_id(0), pl.program_id(1)
+    start = pi * pb
+    y0, y1, wy0, wy1, x0, x1, wx0, wx1 = _read_coords(c_ref, start, pb)
+    H, W = img_ref.shape[2], img_ref.shape[3]
+
+    def core(rows, row0, wlanes, l0, img_at):
+        ior = jax.lax.broadcasted_iota(jnp.int32, (rows, pb), 0)
+        oh0 = (ior == y0.astype(jnp.int32) - row0).astype(jnp.float32)
+        oh1 = (ior == y1.astype(jnp.int32) - row0).astype(jnp.float32)
+        il = jax.lax.broadcasted_iota(jnp.int32, (wlanes, pb), 0)
+        m0 = _xmask(il, x0, 1, l0).astype(jnp.float32)
+        m1 = _xmask(il, x1, 1, l0).astype(jnp.float32)
+        wxm = wx0 * m0 + wx1 * m1
+        sums = None
+        for c in range(C):
+            img = img_at(c)
+            r0 = _dot2_onehot(img, oh0, ((0,), (0,)))
+            r1 = _dot2_onehot(img, oh1, ((0,), (0,)))
+            g = jnp.broadcast_to(
+                g_ref[0, c:c + 1, pl.ds(start, pb)].astype(jnp.float32),
+                (wlanes, pb))
+            dr = g * wxm
+            gr = g * (wy0 * r0 + wy1 * r1)
+            term = jnp.concatenate([
+                jnp.sum(dr * r0, axis=0, keepdims=True),
+                jnp.sum(dr * r1, axis=0, keepdims=True),
+                jnp.sum(gr * m0, axis=0, keepdims=True),
+                jnp.sum(gr * m1, axis=0, keepdims=True),
+            ], axis=0)
+            sums = term if sums is None else sums + term
+        dw_ref[0, :, pl.ds(start, pb)] = sums
+
+    if banded:
+        row0 = pl.multiple_of(band_ref[bi, pi], 8)
+
+        @pl.when(ok_ref[bi, pi] != 0)
+        def _banded():
+            if lw is None:
+                core(_BAND, row0, W, 0,
+                     lambda c: img_ref[0, c, pl.ds(row0, _BAND), :])
+            else:
+                l0 = pl.multiple_of(lane_ref[bi, pi], _LANE)
+                core(_BAND, row0, lw, l0,
+                     lambda c: img_ref[0, c, pl.ds(row0, _BAND), pl.ds(l0, lw)])
+
+        @pl.when(ok_ref[bi, pi] == 0)
+        def _full():
+            core(H, 0, W, 0, lambda c: img_ref[0, c])
+    else:
+        core(H, 0, W, 0, lambda c: img_ref[0, c])
+
+
 # ---------------------------------------------------------------- wrapper
 
-def _pick_pb(C, backward=False):
+def _use_cp(c: int) -> bool:
+    """Channel-plane kernel layout for C>1 warps — a MEASURED NEGATIVE,
+    kept experiment-gated (ENDODAV_WARP_CP=1 opts in; round-5 device
+    A/B, tools/profile_train_step.py same-session): 792 vs 750 ms/step,
+    the C=3 warp kernels themselves 355 vs 313 ms (fwd 178 vs 151, bwd
+    177 vs 162).  The hypothesis — sharing the x-mask builds across
+    channels on a [W, pb] grid instead of per-channel `% C` selection on
+    [W*C, pb] — did not pay: the three per-plane dots/mask applications
+    schedule worse than the single interleaved region, and pb=256 for
+    the cp backward spills registers.  C=1 warps are identical under
+    both layouts.  The kernels stay as the documented worked example;
+    oracle parity is pinned by tests/test_warp_matmul.py both ways."""
+    return c > 1 and env_on("ENDODAV_WARP_CP")
+
+
+def _pick_pb(C, backward=False, cp=False):
     """Pixel-chunk width.  Larger chunks amortize the per-chunk fixed
     work (coord reads, window-plan test, iota builds); the ceiling is
     the ~dozen [lw, pb] f32 temps the backward holds in VMEM — pb=256
-    for the C=3 backward was tried in round 4 and overflowed scoped
-    vmem by 680K on device.  ENDODAV_WARP_PB overrides for A/B
-    (restricted to the widths _tile_shape/lane slicing support)."""
+    for the C=3 INTERLEAVED backward was tried in round 4 and
+    overflowed scoped vmem by 680K on device.  The channel-plane layout
+    (cp) holds per-PLANE temps (C=1-sized), so it takes the C=1 chunk
+    widths.  ENDODAV_WARP_PB overrides for A/B (restricted to the
+    widths _tile_shape/lane slicing support)."""
     env = os.environ.get("ENDODAV_WARP_PB")
     if env:
         pb = int(env)
@@ -533,8 +724,8 @@ def _pick_pb(C, backward=False):
                 "128, 256, 512 (other widths break _tile_shape and the "
                 "128-lane slice alignment the kernels assert)")
         return pb
-    if C <= 2:
-        return 512
+    if C <= 2 or cp:
+        return 256 if (backward and cp) else 512
     return 128 if backward else 256
 
 
@@ -591,16 +782,50 @@ def _mm_forward(img, fx, fy, zeros_mode, img_tile=1):
     bg = fx.shape[0]
     assert bg == b_img * img_tile, (bg, b_img, img_tile)
     out_sp = fx.shape[1:]
-    pb = _pick_pb(c)
+    use_cp = _use_cp(c)
+    pb = _pick_pb(c, cp=use_cp)
     tile = _grid_tile(out_sp, pb, h)
     if tile:
         fx = _tile_cols(fx, *tile)
         fy = _tile_cols(fy, *tile)
     packed, p, ppad = _pack_coords(fx, fy, h, w, zeros_mode, pb)
+    banded = _banding_enabled(h)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
+    if use_cp:
+        # channel planes: [B, C, H, Wp] — masks build on W lanes with
+        # C=1 semantics and are shared across the plane matmuls
+        imgf = jnp.moveaxis(img, 3, 1).astype(jnp.float32)
+        lw = _lane_window(1) if (tile and w > _lane_window(1)) else None
+        wp = _round_up(w, _LANE) if lw is not None else w
+        if wp != w:
+            imgf = jnp.pad(imgf, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+        band, lane, ok = _band_plan(packed, h, pb, wp, lw, 1)
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_cp, C=c, pb=pb, banded=banded, lw=lw),
+            out_shape=jax.ShapeDtypeStruct((bg, c, ppad), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(bg, ppad // pb),
+                in_specs=[
+                    _cspec(ppad),
+                    pl.BlockSpec((1, c, h, wp),
+                                 lambda bi, pi, *_: (bi // img_tile, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, c, ppad),
+                                       lambda bi, pi, *_: (bi, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            compiler_params=params,
+        )(band, lane, ok, packed, imgf)
+        out = out[:, :, :p]
+        if tile:
+            out = _untile_cols(out, *tile, out_sp[0], out_sp[1])
+        return jnp.moveaxis(out, 1, 2).reshape(bg, *out_sp, c)
     # f32 once here instead of a per-chunk in-kernel cast (the image is
     # VMEM-resident across the chunk grid; the cast ran every chunk).
     imgf = img.reshape(b_img, h, w * c).astype(jnp.float32)
-    banded = _banding_enabled(h)
     wc = w * c
     lw = _lane_window(c) if (tile and wc > _lane_window(c)) else None
     if lw is not None:
@@ -626,9 +851,7 @@ def _mm_forward(img, fx, fy, zeros_mode, img_tile=1):
             out_specs=pl.BlockSpec((1, c, ppad), lambda bi, pi, *_: (bi, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=params,
     )(band, lane, ok, packed, imgf)
     out = out[:, :, :p]
     if tile:
@@ -649,17 +872,72 @@ def _mm_bwd(zeros_mode, align_corners, img_grad, img_tile, res, g):
     b_img, h, w, c = img.shape
     b = fx.shape[0]
     out_sp2 = fx.shape[1:]
-    pb = _pick_pb(c, backward=True)
+    use_cp = _use_cp(c)
+    pb = _pick_pb(c, backward=True, cp=use_cp)
     tile = _grid_tile(out_sp2, pb, h)
     fxk, fyk = (_tile_cols(fx, *tile), _tile_cols(fy, *tile)) if tile else (fx, fy)
     packed, p, ppad = _pack_coords(fxk, fyk, h, w, zeros_mode, pb)
-    imgf = img.reshape(b_img, h, w * c).astype(jnp.float32)
     gt = jnp.moveaxis(g.reshape(b, p, c).astype(jnp.float32), 2, 1)  # [B, C, P]
     if tile:
         gt = _tile_cols(gt.reshape(b, c, *out_sp2), *tile)
     if ppad != p:
         gt = jnp.pad(gt, ((0, 0), (0, 0), (0, ppad - p)))
     banded = _banding_enabled(h)
+    grid = (b, ppad // pb)
+    gspec = pl.BlockSpec((1, c, ppad), lambda bi, pi, *_: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dwspec = pl.BlockSpec((1, 4, ppad), lambda bi, pi, *_: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
+
+    if use_cp:
+        imgf = jnp.moveaxis(img, 3, 1).astype(jnp.float32)  # [B, C, H, W]
+        lw = _lane_window(1) if (tile and w > _lane_window(1)) else None
+        wp = _round_up(w, _LANE) if lw is not None else w
+        if wp != w:
+            imgf = jnp.pad(imgf, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+        band, lane, ok = _band_plan(packed, h, pb, wp, lw, 1)
+        ispec_cp = pl.BlockSpec((1, c, h, wp),
+                                lambda bi, pi, *_: (bi // img_tile, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        if img_grad:
+            dw, dimg = pl.pallas_call(
+                functools.partial(_bwd_fused_kernel_cp, C=c, pb=pb,
+                                  banded=banded, lw=lw),
+                out_shape=(jax.ShapeDtypeStruct((b, 4, ppad), jnp.float32),
+                           jax.ShapeDtypeStruct((b, c, h, wp), jnp.float32)),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=grid,
+                    in_specs=[_cspec(ppad), ispec_cp, gspec],
+                    out_specs=(dwspec,
+                               pl.BlockSpec((1, c, h, wp),
+                                            lambda bi, pi, *_: (bi, 0, 0, 0),
+                                            memory_space=pltpu.VMEM)),
+                ),
+                compiler_params=params,
+            )(band, lane, ok, packed, imgf, gt)
+            if wp != w:
+                dimg = dimg[:, :, :, :w]
+            dimg = jnp.moveaxis(dimg, 1, 3).astype(img.dtype)
+        else:
+            dw = pl.pallas_call(
+                functools.partial(_bwd_coord_kernel_cp, C=c, pb=pb,
+                                  banded=banded, lw=lw),
+                out_shape=jax.ShapeDtypeStruct((b, 4, ppad), jnp.float32),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=grid,
+                    in_specs=[_cspec(ppad), ispec_cp, gspec],
+                    out_specs=dwspec,
+                ),
+                compiler_params=params,
+            )(band, lane, ok, packed, imgf, gt)
+            dimg = jnp.zeros(img.shape, img.dtype)
+        return _mm_bwd_epilogue(dw, dimg, fx, fy, tile, out_sp2, b, p, h, w,
+                                zeros_mode)
+
+    imgf = img.reshape(b_img, h, w * c).astype(jnp.float32)
     wc = w * c
     lw = _lane_window(c) if (tile and wc > _lane_window(c)) else None
     if lw is not None:
@@ -670,15 +948,9 @@ def _mm_bwd(zeros_mode, align_corners, img_grad, img_tile, res, g):
         wcp = wc
     band, lane, ok = _band_plan(packed, h, pb, wcp, lw, c)
 
-    grid = (b, ppad // pb)
-    gspec = pl.BlockSpec((1, c, ppad), lambda bi, pi, *_: (bi, 0, 0),
-                         memory_space=pltpu.VMEM)
     ispec = pl.BlockSpec((1, h, wcp),
                          lambda bi, pi, *_: (bi // img_tile, 0, 0),
                          memory_space=pltpu.VMEM)
-    dwspec = pl.BlockSpec((1, 4, ppad), lambda bi, pi, *_: (bi, 0, 0),
-                          memory_space=pltpu.VMEM)
-    params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
 
     if img_grad:
         # fused: coordinate-weight grads + accumulated image grad, one
@@ -717,6 +989,12 @@ def _mm_bwd(zeros_mode, align_corners, img_grad, img_tile, res, g):
         )(band, lane, ok, packed, imgf, gt)
         dimg = jnp.zeros(img.shape, img.dtype)  # caller declared img gradless
 
+    return _mm_bwd_epilogue(dw, dimg, fx, fy, tile, out_sp2, b, p, h, w,
+                            zeros_mode)
+
+
+def _mm_bwd_epilogue(dw, dimg, fx, fy, tile, out_sp2, b, p, h, w, zeros_mode):
+    """Packed lerp-weight grads -> (d_img, d_fx, d_fy)."""
     dw = dw[:, :, :p]
     if tile:
         dw = _untile_cols(dw, *tile, out_sp2[0], out_sp2[1])

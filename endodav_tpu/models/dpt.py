@@ -167,16 +167,20 @@ class HeadDepth(nn.Module):
 
 class _OutputConvHead(nn.Module):
     """The VDA-style single head: 3x3 -> upsample to 14*patch -> 3x3 ->
-    relu -> 1x1 -> relu (dpt.py:114-124)."""
+    relu -> 1x1 -> relu (dpt.py:114-124).  ``out_hw`` travels as a call
+    argument (static shapes) so the module can live in a setup() tree
+    whose input extents aren't known at construction.  The ``out_hw``
+    field is retained only as a default."""
 
     features: int
-    out_hw: tuple[int, int]
+    out_hw: tuple[int, int] = (0, 0)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_hw: tuple[int, int] | None = None):
+        oh, ow = out_hw if out_hw is not None else self.out_hw
         x = nn.Conv(self.features // 2, (3, 3), dtype=self.dtype, name="output_conv1")(x)
-        x = resize2d(x, self.out_hw, "bilinear", align_corners=True)
+        x = resize2d(x, (oh, ow), "bilinear", align_corners=True)
         x = nn.Conv(32, (3, 3), dtype=self.dtype, name="output_conv2_0")(x)
         x = jax.nn.relu(x)
         x = nn.Conv(1, (1, 1), dtype=self.dtype, name="output_conv2_2")(x)
@@ -188,6 +192,19 @@ class DPTDecoder(nn.Module):
 
     __call__(taps, patch_hw, frames) with taps = list of (tokens [BT,N,C],
     cls [BT,C]) and returns {("disp", s): [BT, h_s, w_s, 1]} for s=0..3.
+
+    Split into ``prefix`` (strictly PER-FRAME: readout/projections,
+    resize stages, layer1/2 rn convs — everything before the first
+    temporal module) and ``suffix`` (temporal modules + fusion pyramid +
+    heads).  ``__call__`` composes them, so the whole-model graph and
+    param tree are unchanged; the dedup serving pipeline calls them
+    separately to run the prefix ONCE per unique source frame instead of
+    once per window slot (~2x duplicate work on the sliding window's
+    OVERLAP carries, measured ~14 ms of a 128-slot 518px head chunk —
+    the same argument that dedups the ViT trunk, eval/video_inference.py).
+    Setup-style (not nn.compact) so both halves share one parameter
+    declaration; attribute/container names reproduce the exact param
+    tree of the previous compact form.
     """
 
     in_channels: int
@@ -206,9 +223,52 @@ class DPTDecoder(nn.Module):
     lora_alpha: float | None = None
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, taps, patch_hw: tuple[int, int], frames: int = 1,
-                 train: bool = False, dash_phase2: bool = False):
+    def setup(self):
+        if self.use_clstoken:
+            self.readout_projects = [
+                nn.Dense(self.in_channels, dtype=self.dtype) for _ in range(4)]
+        self.projects = [
+            nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype)
+            for i in range(4)]
+        # torch Conv2d(k=3, s=2, padding=1) pads (1,1) on BOTH sides for
+        # resize_layers_3; flax 'SAME' would pad (0,1) on even extents and
+        # shift the taps by one pixel (caught by full-model parity tests).
+        self.resize_layers = {
+            "0": nn.ConvTranspose(self.out_channels[0], (4, 4), strides=(4, 4),
+                                  dtype=self.dtype, transpose_kernel=True),
+            "1": nn.ConvTranspose(self.out_channels[1], (2, 2), strides=(2, 2),
+                                  dtype=self.dtype, transpose_kernel=True),
+            "3": nn.Conv(self.out_channels[3], (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)), dtype=self.dtype),
+        }
+        if self.temporal:
+            motion = lambda ch: TemporalModule(
+                ch, temporal_max_len=self.num_frames,
+                pos_embedding_type=self.pos_embedding_type,
+                lora_variant=self.temporal_lora_variant, lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha, dtype=self.dtype,
+            )
+            self.motion_modules = [
+                motion(self.out_channels[2]), motion(self.out_channels[3]),
+                motion(self.features), motion(self.features)]
+        rn = lambda: nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)
+        self.layer1_rn, self.layer2_rn = rn(), rn()
+        self.layer3_rn, self.layer4_rn = rn(), rn()
+        fuse = lambda: FeatureFusionBlock(self.features, self.use_bn, self.dtype)
+        self.refinenet1, self.refinenet2 = fuse(), fuse()
+        self.refinenet3, self.refinenet4 = fuse(), fuse()
+        if self.conv_head:
+            self.conv_depth = {str(i): HeadDepth(self.features, self.dtype)
+                               for i in (1, 2, 3, 4)}
+        else:
+            self.scratch_output = _OutputConvHead(
+                self.features, (0, 0), self.dtype)
+
+    def prefix(self, taps, patch_hw: tuple[int, int],
+               dash_phase2: bool = False):
+        """Per-frame front half: taps -> (layer_1_rn, layer_2_rn,
+        layer_3, layer_4).  No op here mixes frames, so the dedup
+        pipeline runs it once per unique source frame."""
         ph, pw = patch_hw
         assert len(taps) == 4
 
@@ -219,72 +279,55 @@ class DPTDecoder(nn.Module):
             if self.use_clstoken:
                 readout = jnp.broadcast_to(cls[:, None, :], tokens.shape)
                 x = jnp.concatenate([tokens, readout], axis=-1)
-                x = nn.Dense(self.in_channels, dtype=self.dtype, name=f"readout_projects_{i}")(x)
+                x = self.readout_projects[i](x)
                 x = jax.nn.gelu(x, approximate=False)
             else:
                 x = tokens
             x = x.reshape(bt, ph, pw, c)
-            x = nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype, name=f"projects_{i}")(x)
-            if i == 0:
-                x = nn.ConvTranspose(
-                    self.out_channels[0], (4, 4), strides=(4, 4), dtype=self.dtype,
-                    name="resize_layers_0", transpose_kernel=True,
-                )(x)
-            elif i == 1:
-                x = nn.ConvTranspose(
-                    self.out_channels[1], (2, 2), strides=(2, 2), dtype=self.dtype,
-                    name="resize_layers_1", transpose_kernel=True,
-                )(x)
-            elif i == 3:
-                # torch Conv2d(k=3, s=2, padding=1) pads (1,1) on BOTH sides;
-                # flax 'SAME' would pad (0,1) on even extents and shift the
-                # taps by one pixel (caught by full-model parity tests).
-                x = nn.Conv(
-                    self.out_channels[3], (3, 3), strides=(2, 2),
-                    padding=((1, 1), (1, 1)), dtype=self.dtype, name="resize_layers_3"
-                )(x)
+            x = self.projects[i](x)
+            if str(i) in self.resize_layers:
+                x = self.resize_layers[str(i)](x)
             maps.append(x)
 
         layer_1, layer_2, layer_3, layer_4 = maps
+        # layer_3/layer_4 rn convs run AFTER their temporal modules
+        # (dpt_temporal.py:75-86) and stay in the suffix
+        return (self.layer1_rn(layer_1), self.layer2_rn(layer_2),
+                layer_3, layer_4)
+
+    def suffix(self, maps, frames: int = 1, train: bool = False,
+               dash_phase2: bool = False):
+        """Window half: temporal modules + fusion pyramid + heads."""
+        layer_1_rn, layer_2_rn, layer_3, layer_4 = maps
 
         if self.temporal:
-            motion = lambda ch, idx: TemporalModule(
-                ch, temporal_max_len=self.num_frames,
-                pos_embedding_type=self.pos_embedding_type,
-                lora_variant=self.temporal_lora_variant, lora_rank=self.lora_rank,
-                lora_alpha=self.lora_alpha, dtype=self.dtype, name=f"motion_modules_{idx}",
-            )
-            layer_3 = motion(self.out_channels[2], 0)(layer_3, frames, dash_phase2, train)
-            layer_4 = motion(self.out_channels[3], 1)(layer_4, frames, dash_phase2, train)
+            layer_3 = self.motion_modules[0](layer_3, frames, dash_phase2, train)
+            layer_4 = self.motion_modules[1](layer_4, frames, dash_phase2, train)
 
-        rn = lambda i, ch: nn.Conv(
-            self.features, (3, 3), use_bias=False, dtype=self.dtype, name=f"layer{i}_rn"
-        )
-        layer_1_rn = rn(1, self.out_channels[0])(layer_1)
-        layer_2_rn = rn(2, self.out_channels[1])(layer_2)
-        layer_3_rn = rn(3, self.out_channels[2])(layer_3)
-        layer_4_rn = rn(4, self.out_channels[3])(layer_4)
+        layer_3_rn = self.layer3_rn(layer_3)
+        layer_4_rn = self.layer4_rn(layer_4)
 
-        fuse = lambda i: FeatureFusionBlock(self.features, self.use_bn, self.dtype, name=f"refinenet{i}")
-        path_4 = fuse(4)(layer_4_rn, None, layer_3_rn.shape[1:3], train)
+        path_4 = self.refinenet4(layer_4_rn, None, layer_3_rn.shape[1:3], train)
         if self.temporal:
-            path_4 = motion(self.features, 2)(path_4, frames, dash_phase2, train)
-        path_3 = fuse(3)(path_4, layer_3_rn, layer_2_rn.shape[1:3], train)
+            path_4 = self.motion_modules[2](path_4, frames, dash_phase2, train)
+        path_3 = self.refinenet3(path_4, layer_3_rn, layer_2_rn.shape[1:3], train)
         if self.temporal:
-            path_3 = motion(self.features, 3)(path_3, frames, dash_phase2, train)
-        path_2 = fuse(2)(path_3, layer_2_rn, layer_1_rn.shape[1:3], train)
-        path_1 = fuse(1)(path_2, layer_1_rn, None, train)
+            path_3 = self.motion_modules[3](path_3, frames, dash_phase2, train)
+        path_2 = self.refinenet2(path_3, layer_2_rn, layer_1_rn.shape[1:3], train)
+        path_1 = self.refinenet1(path_2, layer_1_rn, None, train)
 
         out = {}
         if self.conv_head:
             sign = -1.0 if self.inv_sigmoid else 1.0
-            head = lambda i: HeadDepth(self.features, self.dtype, name=f"conv_depth_{i}")
-            out[("disp", 3)] = jax.nn.sigmoid(sign * head(4)(path_4))
-            out[("disp", 2)] = jax.nn.sigmoid(sign * head(3)(path_3))
-            out[("disp", 1)] = jax.nn.sigmoid(sign * head(2)(path_2))
-            out[("disp", 0)] = jax.nn.sigmoid(sign * head(1)(path_1))
+            out[("disp", 3)] = jax.nn.sigmoid(sign * self.conv_depth["4"](path_4))
+            out[("disp", 2)] = jax.nn.sigmoid(sign * self.conv_depth["3"](path_3))
+            out[("disp", 1)] = jax.nn.sigmoid(sign * self.conv_depth["2"](path_2))
+            out[("disp", 0)] = jax.nn.sigmoid(sign * self.conv_depth["1"](path_1))
         else:
-            y = _OutputConvHead(self.features, (ph * 14, pw * 14), self.dtype, name="scratch_output")(path_1)
+            # upsample to 14x the patch grid (derived from layer_1_rn's
+            # 4x-of-patch-grid extent; the compact form used patch_hw)
+            out_hw = (layer_1_rn.shape[1] * 14 // 4, layer_1_rn.shape[2] * 14 // 4)
+            y = self.scratch_output(path_1, out_hw)
             out[("disp", 0)] = y
             for s in range(1, 4):
                 prev = out[("disp", s - 1)]
@@ -295,3 +338,8 @@ class DPTDecoder(nn.Module):
                 for s in range(4):
                     out[("disp", s)] = jax.nn.sigmoid(out[("disp", s)])
         return out
+
+    def __call__(self, taps, patch_hw: tuple[int, int], frames: int = 1,
+                 train: bool = False, dash_phase2: bool = False):
+        maps = self.prefix(taps, patch_hw, dash_phase2)
+        return self.suffix(maps, frames, train, dash_phase2)

@@ -25,7 +25,28 @@ from endodav_tpu.models.endodac import IMAGENET_MEAN, IMAGENET_STD
 from endodav_tpu.models.vit import VIT_CONFIGS, DinoViT
 from endodav_tpu.ops.resize import resize2d
 
-__all__ = ["EndoDAV", "ENDODAV_CONFIGS", "INFER_LEN", "OVERLAP", "KEYFRAMES", "INTERP_LEN"]
+__all__ = ["EndoDAV", "ENDODAV_CONFIGS", "INFER_LEN", "OVERLAP", "KEYFRAMES",
+           "INTERP_LEN", "prefix_map_shapes"]
+
+
+def prefix_map_shapes(model: "EndoDAV"):
+    """Static per-frame shapes of `decode_prefix`'s four maps
+    (layer_1_rn, layer_2_rn, layer_3, layer_4) for ``model``'s config.
+
+    The dedup serving pipeline moves the maps across jit boundaries
+    FLATTENED to [frames, prod(shape)] and reshapes back inside the
+    consumer jit: m1/m2 end in C=features=64, which TPU tiling pads to
+    128 lanes (2x the memory), and a 4D boundary array's layout is
+    producer-chosen — both measured as ~600 ms of per-chunk relayout
+    traffic on device (round 5).  A 2D row is canonical and unpadded
+    (every flattened length here is a multiple of 128).
+    """
+    ph, pw = model.image_shape[0] // 14, model.image_shape[1] // 14
+    cfg = ENDODAV_CONFIGS[model.encoder]
+    f, oc = cfg["features"], cfg["out_channels"]
+    return ((4 * ph, 4 * pw, f), (2 * ph, 2 * pw, f), (ph, pw, oc[2]),
+            # layer_4: conv k=3 s=2 with (1,1) padding on the patch grid
+            ((ph - 1) // 2 + 1, (pw - 1) // 2 + 1, oc[3]))
 
 # Sliding-window inference constants (endodav.py:47-50).
 INFER_LEN = 32
@@ -152,6 +173,19 @@ class EndoDAV(nn.Module):
         ph, pw = self.image_shape[0] // 14, self.image_shape[1] // 14
         return self.head(taps, (ph, pw), frames=frames, train=train,
                          dash_phase2=dash_phase2)
+
+    def decode_prefix(self, taps, dash_phase2: bool = False):
+        """Per-frame front half of the DPT head (models/dpt.py:
+        DPTDecoder.prefix) — no op mixes frames, so the dedup serving
+        pipeline runs it once per unique source frame."""
+        ph, pw = self.image_shape[0] // 14, self.image_shape[1] // 14
+        return self.head.prefix(taps, (ph, pw), dash_phase2)
+
+    def decode_suffix(self, maps, frames: int, train: bool = False,
+                      dash_phase2: bool = False):
+        """Window half of the DPT head: temporal modules + fusion
+        pyramid + heads (DPTDecoder.suffix)."""
+        return self.head.suffix(maps, frames, train, dash_phase2)
 
     def __call__(self, video, train: bool = False, dash_phase2: bool = False):
         taps = self.encode(video, train=train, dash_phase2=dash_phase2)

@@ -24,11 +24,33 @@ INTER_CUBIC; datasets/scared_video_dataset.py:188 antialiased bilinear):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["interp_matrix", "resize2d", "resize_nchw"]
+
+
+def _banded_col_pass(y, m_np, mdtype, acc):
+    """Windowed column pass (ENDODAV_BANDED_RESIZE=1 experiment):
+    out[..., q, c] = sum_w m[q, w] y[..., w, c], emitted as 128-wide
+    q-chunks each contracting only the input window its rows touch.
+    Bilinear/bicubic interp matrices are 2-/4-banded, so the dense
+    einsum burns ~W/window more MXU FLOPs than needed (~2-3x at the DPT
+    up-resizes); the trade is graph breadth (one dot + slice per chunk
+    and a lane concat — the round-4 fast-reflect lesson says breadth
+    can cost more than it saves, hence experiment-gated)."""
+    Q, W = m_np.shape
+    chunks = []
+    for q0 in range(0, Q, 128):
+        sub = m_np[q0:min(q0 + 128, Q)]
+        nz = np.nonzero(sub.any(axis=0))[0]
+        w0, w1 = int(nz[0]), int(nz[-1]) + 1
+        mj = jnp.asarray(sub[:, w0:w1], dtype=mdtype)
+        chunks.append(jnp.einsum("bpwc,qw->bpqc", y[:, :, w0:w1, :], mj,
+                                 preferred_element_type=acc))
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=2)
 
 
 def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
@@ -151,10 +173,29 @@ def resize2d(
     # separable passes as einsums over the native layout — XLA folds the
     # dimension ordering into the dot_generals instead of materializing
     # the reshape/swapaxes relayouts (profiled at 28+ ms per big resize
-    # in the manual-transpose form, PERFORMANCE.md serving profile)
+    # in the manual-transpose form, PERFORMANCE.md serving profile).
+    # The image rides the LHS of both einsums; jnp.einsum emits the same
+    # dot_generals either way, and operand order measured NEUTRAL at
+    # steady state (tools/bench_resize_c1.py — NOTE that tool's warm-up
+    # caveat: the FIRST timed loop of any fresh executable in this
+    # environment reads ~3-4x inflated, which initially masqueraded as a
+    # 4x operand-order win).
+    if c == 1:
+        # single-channel maps (disparity outputs): squeezed 3D form —
+        # drops a useless trailing unit dim from both contractions
+        y = x.reshape((-1, h, w))
+        y = jnp.einsum("bhw,ph->bpw", y, mh, preferred_element_type=acc)
+        y = jnp.einsum("bpw,qw->bpq", y, mw, preferred_element_type=acc)
+        return y.reshape((*lead, oh, ow, 1)).astype(x.dtype)
     y = x.reshape((-1, h, w, c))
-    y = jnp.einsum("ph,bhwc->bpwc", mh, y, preferred_element_type=acc)
-    y = jnp.einsum("qw,bpwc->bpqc", mw, y, preferred_element_type=acc)
+    y = jnp.einsum("bhwc,ph->bpwc", y, mh, preferred_element_type=acc)
+    if (os.environ.get("ENDODAV_BANDED_RESIZE") == "1"
+            and method == "bilinear" and not antialias and ow >= 256):
+        y = _banded_col_pass(
+            y, interp_matrix(w, ow, method, align_corners, antialias, sw),
+            mdtype, acc)
+    else:
+        y = jnp.einsum("bpwc,qw->bpqc", y, mw, preferred_element_type=acc)
     return y.reshape((*lead, oh, ow, c)).astype(x.dtype)
 
 

@@ -260,7 +260,6 @@ class TPDedupWindowForward:
         self.batch_frames = int(batch_frames or INFER_LEN)
         take = ENDODAV_CONFIGS[model_local.encoder]["intermediate"]
         self._take = take
-        self._n_taps = len(take)
         self._head_cache: dict = {}
         self._encode_jits: dict = {}
         self._known: tuple = ()
@@ -313,14 +312,15 @@ class TPDedupWindowForward:
             def enc(vv, batch):
                 x = model.preprocess(batch[None])
                 taps = scan_trunk_apply(vit, vv["params"]["pretrained"], x, take)
-                return (jnp.stack([t for t, _ in taps], axis=1),
-                        jnp.stack([c for _, c in taps], axis=1))
+                maps = model.apply(vv, taps, method="decode_prefix")
+                return tuple(m.reshape(m.shape[0], -1) for m in maps)
         else:
 
             def enc(vv, batch):
                 taps = model.apply(vv, batch[None], method="encode")
-                return (jnp.stack([t for t, _ in taps], axis=1),
-                        jnp.stack([c for _, c in taps], axis=1))
+                maps = model.apply(vv, taps, method="decode_prefix")
+                # FLATTENED boundary (video_inference.prefix_map_shapes)
+                return tuple(m.reshape(m.shape[0], -1) for m in maps)
         return enc
 
     def encode(self, v, batch):
@@ -337,9 +337,11 @@ class TPDedupWindowForward:
 
             @jax.jit
             def enc_c(vv, b):
+                # output: the 4-tuple of per-frame DPT prefix maps
+                # (decode_prefix), each data-sharded like the batch
                 run = jax.shard_map(enc_local, mesh=mesh,
                                     in_specs=(specs, bspec),
-                                    out_specs=(bspec, bspec), check_vma=False)
+                                    out_specs=(bspec,) * 4, check_vma=False)
                 return run(vv, b)
 
             self._encode_jits[key] = enc_c
@@ -353,22 +355,30 @@ class TPDedupWindowForward:
         if cached is None:
             from endodav_tpu.ops.resize import resize2d
 
-            model, k, il = self._model, self._n_taps, self._infer_len
+            model, il = self._model, self._infer_len
             mesh, hspecs = self._mesh, self._head_specs
 
-            def head_local(vv, tokens, cls):
-                taps = [(tokens[:, i], cls[:, i]) for i in range(k)]
-                disp = model.apply(vv, taps, il, method="decode")[("disp", 0)]
+            from endodav_tpu.models.endodav import prefix_map_shapes
+
+            shapes = prefix_map_shapes(model)
+
+            def head_local(vv, widx, *maps):
+                gathered = tuple(
+                    jnp.take(m, widx, axis=0).reshape(-1, *shp)
+                    for m, shp in zip(maps, shapes))
+                disp = model.apply(vv, gathered, il,
+                                   method="decode_suffix")[("disp", 0)]
                 disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
                 return disp[..., 0].astype(out_dtype)
 
-            head_c = jax.jit(lambda vv, tokens, cls: jax.shard_map(
-                head_local, mesh=mesh, in_specs=(hspecs, P(), P()),
-                out_specs=P(), check_vma=False)(vv, tokens, cls))
+            head_c = jax.jit(lambda vv, widx, *maps: jax.shard_map(
+                head_local, mesh=mesh,
+                in_specs=(hspecs, P()) + (P(),) * len(maps),
+                out_specs=P(), check_vma=False)(vv, widx, *maps))
 
-            def cached(v, tokens, cls):
+            def cached(v, widx, *maps):
                 self._sync(v)
-                return head_c(self._head_vars, tokens, cls)
+                return head_c(self._head_vars, widx, *maps)
 
             self._head_cache[key] = cached
         return cached

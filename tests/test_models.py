@@ -104,16 +104,25 @@ def test_scan_trunk_apply_matches_unrolled(residual, no_cls):
         np.testing.assert_allclose(gc, rc, atol=1e-6)
 
 
-def test_scan_trunk_module_flag_forward_and_grad():
+def test_scan_trunk_module_flag_forward_and_grad(monkeypatch):
     """EndoDAV(scan_trunk=True) — the module-level scan_blocks path that
     stacks from self.variables at apply time — must match the unrolled
     model in BOTH forward and gradients (the train step rides it), with
     the identical per-layer param tree."""
+    from endodav_tpu.models import endodav as dav_mod
+    from endodav_tpu.models import vit as vit_mod
     from endodav_tpu.models.endodav import EndoDAV
 
-    # T=8 (not the serving 32): the scan-vs-unrolled contract is
-    # per-layer and T-independent; T=32 made this the slowest fast test
-    # (266 s) for no extra coverage
+    # T=8 (not the serving 32) and a 6-block trunk: the scan-vs-unrolled
+    # contract is per-layer and depth/T-independent; the tap pattern
+    # (1,2,4,5) still exercises scan runs AND solo segments.  The full
+    # 12-block grad compile made this the slowest fast test (158 s) for
+    # no extra coverage.
+    monkeypatch.setitem(vit_mod.VIT_CONFIGS, "vits",
+                        dict(embed_dim=384, depth=6, num_heads=6))
+    monkeypatch.setitem(dav_mod.ENDODAV_CONFIGS, "vits",
+                        dict(features=64, out_channels=(48, 96, 192, 384),
+                             intermediate=(1, 2, 4, 5)))
     m0 = EndoDAV(image_shape=(28, 28), num_frames=8)
     m1 = EndoDAV(image_shape=(28, 28), num_frames=8, scan_trunk=True)
     v = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 28, 28, 3)))
@@ -237,13 +246,22 @@ def test_merge_lora_dense_exact(variant):
         np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=1e-5, rtol=1e-5)
 
 
-def test_merge_lora_endodav_model():
+def test_merge_lora_endodav_model(monkeypatch):
     """Whole-model merge: tree matches the lora_type='none' model and the
     disparity output is unchanged."""
     from endodav_tpu.models import EndoDAV
+    from endodav_tpu.models import endodav as dav_mod
+    from endodav_tpu.models import vit as vit_mod
     from endodav_tpu.models.endodav import _endodav_lora_alpha
     from endodav_tpu.models.lora import merge_lora_params
 
+    # 6-block trunk: merge_lora_params is per-layer, depth adds compile
+    # time (80 s at 12 blocks), not coverage
+    monkeypatch.setitem(vit_mod.VIT_CONFIGS, "vits",
+                        dict(embed_dim=384, depth=6, num_heads=6))
+    monkeypatch.setitem(dav_mod.ENDODAV_CONFIGS, "vits",
+                        dict(features=64, out_channels=(48, 96, 192, 384),
+                             intermediate=(1, 2, 4, 5)))
     rng = np.random.default_rng(12)
     kw = dict(encoder="vits", image_shape=(28, 42), temporal_lora=True)
     m = EndoDAV(lora_type="dvlora", **kw)

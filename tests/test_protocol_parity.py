@@ -61,9 +61,11 @@ def test_video_eval_driver_protocol_parity(synth_tree):
     rc = parity_released.main([
         "--data_path", synth_tree, "--random_weights",
         "--disable_residual_block", "--disable_conv_head",
-        "--lora_type", "lora",
+        "--lora_type", "lora", "--int8_gate",
     ])
-    assert rc == 0, "protocol metrics diverged from the reference driver"
+    assert rc == 0, ("protocol metrics diverged from the reference driver "
+                     "(or the int8 serving leg regressed AbsRel/delta1 "
+                     "beyond 0.5% relative vs bf16)")
 
 
 @pytest.mark.slow

@@ -63,13 +63,15 @@ def test_int8_dense_uses_integer_dot():
     assert any(e.params.get("preferred_element_type") == jnp.int32 for e in dots)
 
 
-@pytest.fixture
+@pytest.fixture(scope="module")
 def tiny_endodav_out():
     from endodav_tpu.models import EndoDAV
 
-    m = EndoDAV(encoder="vits", image_shape=(56, 70), num_frames=4,
+    # module-scoped + T=2 at 28x42: the fixture's full-model init was the
+    # 4th-slowest fast-suite item (33 s setup) and two tests now share it
+    m = EndoDAV(encoder="vits", image_shape=(28, 42), num_frames=2,
                 lora_type="none")
-    x = jnp.asarray(RNG.uniform(0, 1, (1, 4, 56, 70, 3)).astype(np.float32))
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 2, 28, 42, 3)).astype(np.float32))
     variables = m.init(jax.random.PRNGKey(0), x)
     return m, variables, x
 

@@ -187,6 +187,7 @@ def test_tp_passes_through_extra_collections():
     np.testing.assert_allclose(out, ref, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_tp_composes_with_streaming(single_device_ref):
     """DepthStreamer over the TP forward (the latency story the model
     axis exists for) must emit the same frames as over the single-device

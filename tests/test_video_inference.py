@@ -433,3 +433,27 @@ def test_dedup_resolution_default(monkeypatch):
     monkeypatch.setenv("ENDODAV_NO_DEDUP", "1")  # NO_DEDUP wins over DEDUP
     assert not dedup_by_default((518, 644))
     assert not dedup_by_default((224, 280))
+
+
+def test_prefix_map_shapes_match_decode_prefix():
+    """The dedup pipeline's flat-boundary contract reshapes by
+    `prefix_map_shapes` — pin the analytic shapes against the actual
+    decode_prefix outputs (a drift here silently corrupts every gathered
+    map)."""
+    import jax
+
+    from endodav_tpu.models.endodav import EndoDAV, prefix_map_shapes
+
+    for image_shape in ((28, 28), (42, 70)):
+        m = EndoDAV(image_shape=image_shape, num_frames=2)
+
+        def fn(x):
+            v = m.init(jax.random.PRNGKey(0), x)
+            taps = m.apply(v, x, method="encode")
+            return m.apply(v, taps, method="decode_prefix")
+
+        maps = jax.eval_shape(fn, jax.ShapeDtypeStruct((1, 2, *image_shape, 3),
+                                                       jnp.float32))
+        got = tuple(mp.shape[1:] for mp in maps)
+        assert got == prefix_map_shapes(m), (image_shape, got,
+                                             prefix_map_shapes(m))

@@ -382,3 +382,30 @@ def test_env_override_validation(monkeypatch):
         wm._pick_pb(3)
     monkeypatch.setenv("ENDODAV_WARP_PB", "256")
     assert wm._pick_pb(3, backward=True) == 256
+
+
+def test_channel_plane_layout_matches_interleaved(monkeypatch):
+    """ENDODAV_WARP_CP=1 (the round-5 measured-negative experiment) must
+    stay CORRECT even though it is off by default: forward and both
+    gradient paths agree with the interleaved layout."""
+    from endodav_tpu.kernels import warp_matmul as wm
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.standard_normal((2, 64, 80, 3)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-2, 81, (2, 64, 80)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 65, (2, 64, 80)).astype(np.float32))
+
+    def loss(im, x, y):
+        return (wm.grid_sample_mm(im, x, y, True, True, True) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.delenv("ENDODAV_WARP_CP", raising=False)
+        ref = wm.grid_sample_mm(img, fx, fy, True, True, True)
+        gref = jax.grad(loss, argnums=(0, 1, 2))(img, fx, fy)
+        monkeypatch.setenv("ENDODAV_WARP_CP", "1")
+        got = wm.grid_sample_mm(img, fx, fy, True, True, True)
+        ggot = jax.grad(loss, argnums=(0, 1, 2))(img, fx, fy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    for a, b in zip(ggot, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)

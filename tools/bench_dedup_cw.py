@@ -106,9 +106,8 @@ def main():
 
     fb, (enc_s, pairs, n_fpad) = min(enc_results.items(), key=lambda kv: kv[1][0])
     print(f"[dedup-cw {args.config}] best fb={fb} ({enc_s*1e3:.0f} ms)", flush=True)
-    tokens_all = jnp.concatenate([t for t, _ in pairs], axis=0)
-    cls_all = jnp.concatenate([c for _, c in pairs], axis=0)
-    sync((tokens_all, cls_all))
+    maps_all = tuple(jnp.concatenate(ms, axis=0) for ms in zip(*pairs))
+    sync(maps_all)
 
     for cw in args.cw:
         pad_to = math.ceil(nw / cw) * cw
@@ -119,9 +118,7 @@ def main():
         head = dedup.head_for(*src_hw, np.float16)
 
         def run_heads():
-            outs = [head(variables,
-                         jnp.take(tokens_all, w, axis=0),
-                         jnp.take(cls_all, w, axis=0)) for w in widx]
+            outs = [head(variables, w, *maps_all) for w in widx]
             sync(outs[-1])
 
         try:

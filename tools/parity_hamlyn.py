@@ -61,8 +61,19 @@ def make_split_files(splits_dir: str) -> None:
         f.write("\n".join(SEQS) + "\n")
 
 
-def run(cmd, env=None):
+def run(cmd, env=None, ref_inputs=None, capture=None):
     print("[parity_hamlyn] $", " ".join(cmd), flush=True)
+    if ref_inputs is not None:
+        # reference-side probe: memoized on (cmd, env, input contents) —
+        # the reference tree is read-only and inputs are seeded, so the
+        # probe is a pure function (tools/_run_cache.py)
+        from tools._run_cache import cached_run
+
+        return cached_run(
+            cmd, env=env,
+            key_files=[p for p in ref_inputs if os.path.exists(p)],
+            capture_dir=capture,
+            env_keys=tuple(k for k in (env or {}) if k.startswith("ENDODAV_REF")))
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:])
@@ -131,7 +142,8 @@ def main(argv=None):
                         ENDODAV_FORCE_PLATFORM="cpu")
         wrapper = os.path.join(REPO, "tools", "_ref_eval_wrapper.py")
         ref_out = run([sys.executable, "-u", wrapper,
-                       "evaluate_depth_video_hamlyn.py", *flags], env=env_ref)
+                       "evaluate_depth_video_hamlyn.py", *flags], env=env_ref,
+                      ref_inputs=[work], capture=work)
         our_out = run([sys.executable, "-u",
                        os.path.join(REPO, "evaluate_depth_video_hamlyn.py"),
                        *flags], env=env_ours)

@@ -83,8 +83,19 @@ def make_split_files(splits_dir: str, n_frames: int) -> None:
                 f.write(f"{folder} {i} l\n")
 
 
-def run(cmd, env=None):
+def run(cmd, env=None, ref_inputs=None, capture=None):
     print("[parity_pose] $", " ".join(cmd), flush=True)
+    if ref_inputs is not None:
+        # reference-side probe: memoized on (cmd, env, input contents) —
+        # the reference tree is read-only and inputs are seeded, so the
+        # probe is a pure function (tools/_run_cache.py)
+        from tools._run_cache import cached_run
+
+        return cached_run(
+            cmd, env=env,
+            key_files=[p for p in ref_inputs if os.path.exists(p)],
+            capture_dir=capture,
+            env_keys=tuple(k for k in (env or {}) if k.startswith("ENDODAV_REF")))
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:])
@@ -152,7 +163,7 @@ def main(argv=None):
         for seq in (1, 2):
             run([sys.executable, "-u", wrapper, "export_gt_pose.py",
                  "--data_path", args.data_path, "--sequence", f"sequence{seq}"],
-                env=env_ref)
+                env=env_ref, ref_inputs=[args.data_path, work], capture=work)
         run([sys.executable, "-u", os.path.join(REPO, "export_gt_pose.py"),
              "--data_path", args.data_path, "--what", "pose"], env=env_ours)
         ok = True
@@ -171,6 +182,7 @@ def main(argv=None):
                  "--height", str(args.height), "--width", str(args.width),
                  "--num_layers", str(args.num_layers), "--num_workers", "0"]
         ref_out = run([sys.executable, "-u", wrapper, "evaluate_pose.py", *flags],
+                      ref_inputs=[args.data_path, work], capture=work,
                       env=env_ref)
         our_out = run([sys.executable, "-u",
                        os.path.join(REPO, "evaluate_pose.py"), *flags],

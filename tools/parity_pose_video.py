@@ -43,8 +43,19 @@ def make_split_files(splits_dir: str) -> None:
         f.write("\n".join(SEQS) + "\n")
 
 
-def run(cmd, env=None):
-    print("[parity_pose_video] $", " ".join(cmd), flush=True)
+def run(cmd, env=None, ref_inputs=None, capture=None):
+    print("[parity_pv] $", " ".join(cmd), flush=True)
+    if ref_inputs is not None:
+        # reference-side probe: memoized on (cmd, env, input contents) —
+        # the reference tree is read-only and inputs are seeded, so the
+        # probe is a pure function (tools/_run_cache.py)
+        from tools._run_cache import cached_run
+
+        return cached_run(
+            cmd, env=env,
+            key_files=[p for p in ref_inputs if os.path.exists(p)],
+            capture_dir=capture,
+            env_keys=tuple(k for k in (env or {}) if k.startswith("ENDODAV_REF")))
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:])
@@ -165,7 +176,8 @@ def main(argv=None):
         env_ours = dict(os.environ, ENDODAV_TPU_SPLITS_DIR=splits_ours,
                         ENDODAV_FORCE_PLATFORM="cpu")
         wrapper = os.path.join(REPO, "tools", "_ref_eval_wrapper.py")
-        ref_out = run([sys.executable, "-u", wrapper,
+        ref_out = run(ref_inputs=[args.data_path, work], capture=work,
+                      cmd=[sys.executable, "-u", wrapper,
                        "evaluate_depth_video_pose.py", *flags,
                        "--visualize_depth"], env=env_ref)
         our_out = run([sys.executable, "-u",

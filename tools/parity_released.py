@@ -97,8 +97,19 @@ def parse_ours(stdout: str):
     return out, ci
 
 
-def run(cmd, env=None):
+def run(cmd, env=None, ref_inputs=None, capture=None):
     print("[parity] $", " ".join(cmd), flush=True)
+    if ref_inputs is not None:
+        # reference-side probe: memoized on (cmd, env, input contents) —
+        # the reference tree is read-only and inputs are seeded, so the
+        # probe is a pure function (tools/_run_cache.py)
+        from tools._run_cache import cached_run
+
+        return cached_run(
+            cmd, env=env,
+            key_files=[p for p in ref_inputs if os.path.exists(p)],
+            capture_dir=capture,
+            env_keys=tuple(k for k in (env or {}) if k.startswith("ENDODAV_REF")))
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:])
@@ -130,6 +141,11 @@ def main(argv=None):
                     help="per-metric tolerance: |ref - ours| <= atol + rtol*|ref| "
                          "(ref prints only 3 decimals)")
     ap.add_argument("--rtol", type=float, default=1e-2)
+    ap.add_argument("--int8_gate", action="store_true",
+                    help="also score the int8 serving path (ENDODAV_INT8=1) "
+                         "against our bf16 leg and fail on AbsRel/delta1 "
+                         "regression beyond --int8_tol (relative)")
+    ap.add_argument("--int8_tol", type=float, default=0.005)
     args = ap.parse_args(argv)
 
     wf = args.weights_folder
@@ -167,7 +183,8 @@ def main(argv=None):
             flags.append(f"--{name}")
 
     ref_out = run([sys.executable, "-u", os.path.join(REPO, "tools", "_ref_eval_wrapper.py"),
-                   "evaluate_depth_video.py", *flags])
+                   "evaluate_depth_video.py", *flags],
+                  ref_inputs=[args.data_path, wf])
     ref_vals, ref_ci = parse_reference(ref_out)
 
     env = dict(os.environ)
@@ -176,6 +193,21 @@ def main(argv=None):
     our_out = run([sys.executable, "-u", os.path.join(REPO, "evaluate_depth_video.py"), *flags],
                   env=env)
     our_vals, our_ci = parse_ours(our_out)
+
+    int8_vals = None
+    if args.int8_gate:
+        # bf16-vs-int8 accuracy gate for the int8 serving default (round-4
+        # VERDICT task 8): score the SAME weights through the int8 GEMM
+        # path (ENDODAV_INT8=1 — the explicit override works at every
+        # encoder) and auto-fail if AbsRel degrades beyond the threshold
+        # relative to our bf16 leg.  With released weights mounted this is
+        # the one-command validation of the vitl int8 default; today it
+        # runs both legs on the synthetic/random weights.
+        env8 = dict(env, ENDODAV_INT8="1")
+        int8_out = run([sys.executable, "-u",
+                        os.path.join(REPO, "evaluate_depth_video.py"), *flags],
+                       env=env8)
+        int8_vals, _ = parse_ours(int8_out)
 
     print(f"\n{'metric':>9} | {'reference':>12} | {'ours':>12} | {'diff':>10}")
     ok = True
@@ -192,6 +224,17 @@ def main(argv=None):
         ok &= d <= tol
         print(f"{'absrel_ci':>9} | [{ref_ci[0]:.4f}, {ref_ci[1]:.4f}] | "
               f"[{our_ci[0]:.4f}, {our_ci[1]:.4f}] | {d:10.4f}{flag}")
+    if int8_vals is not None:
+        print(f"\n{'int8 gate':>9} | {'bf16':>12} | {'int8':>12} | rel delta "
+              f"(fail > {args.int8_tol:.3%})")
+        for k in ("abs_rel", "a1"):
+            rel = (int8_vals[k] - our_vals[k]) / max(abs(our_vals[k]), 1e-9)
+            # degradation = abs_rel UP or delta1 DOWN
+            bad = rel > args.int8_tol if k == "abs_rel" else -rel > args.int8_tol
+            ok &= not bad
+            print(f"{k:>9} | {our_vals[k]:12.4f} | {int8_vals[k]:12.4f} | "
+                  f"{rel:+.4%}{'  <-- INT8 REGRESSION' if bad else ''}")
+
     print("\n[parity] " + ("PASS — protocols agree" if ok else "FAIL — investigate above"))
     return 0 if ok else 1
 

@@ -47,8 +47,19 @@ def make_split_files(splits_dir: str) -> None:
             f.write("\n".join(SEQS) + "\n")
 
 
-def run(cmd, env=None):
+def run(cmd, env=None, ref_inputs=None, capture=None):
     print("[parity_trainstep] $", " ".join(cmd), flush=True)
+    if ref_inputs is not None:
+        # reference-side probe: memoized on (cmd, env, input contents) —
+        # the reference tree is read-only and inputs are seeded, so the
+        # probe is a pure function (tools/_run_cache.py)
+        from tools._run_cache import cached_run
+
+        return cached_run(
+            cmd, env=env,
+            key_files=[p for p in ref_inputs if os.path.exists(p)],
+            capture_dir=capture,
+            env_keys=tuple(k for k in (env or {}) if k.startswith("ENDODAV_REF")))
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-6000:])
@@ -90,7 +101,7 @@ def main(argv=None):
              "--height", str(args.height), "--width", str(args.width),
              "--encoder", args.encoder, "--lora_type", args.lora_type,
              *(TEMPORAL_FLAGS if args.temporal else [])],
-            env=env_ref)
+            env=env_ref, ref_inputs=[args.data_path, work], capture=work)
         with open(os.path.join(probe_out, "losses.json")) as f:
             ref = json.load(f)
         # the reference forward must itself be deterministic (no live

@@ -17,8 +17,6 @@ Run: python tools/profile_dedup_head.py [--config 518|224] [--cw 4]
      [--leg head|encode|both]
 """
 
-from __future__ import annotations
-
 import argparse
 import glob
 import gzip
@@ -122,8 +120,8 @@ def main():
     rng = np.random.default_rng(0)
 
     batch = jnp.asarray(rng.uniform(0, 1, (args.fb, th, tw, 3)).astype(np.float32))
-    tokens, cls = dedup.encode(variables, batch)
-    device_sync((tokens, cls))
+    maps = dedup.encode(variables, batch)
+    device_sync(maps)
 
     if args.leg in ("encode", "both"):
         total, cats, srcs = profile_call(
@@ -131,15 +129,13 @@ def main():
         report(f"{args.config} dedup ENCODE fb={args.fb}", total, cats, srcs)
 
     if args.leg in ("head", "both"):
-        # gather cw windows' worth of tap rows (each window: 32 frames)
+        # cw windows' worth of slot indices; the head gathers in-jit
         n_slots = args.cw * 32
         widx = jnp.asarray(rng.integers(0, args.fb, n_slots))
-        wt = jnp.take(tokens, widx, axis=0)
-        wc = jnp.take(cls, widx, axis=0)
         head = dedup.head_for(*src_hw, np.float16)
-        device_sync(head(variables, wt, wc))
+        device_sync(head(variables, widx, *maps))
         total, cats, srcs = profile_call(
-            lambda t, c: head(variables, t, c), wt, wc)
+            lambda *ms: head(variables, widx, *ms), *maps)
         report(f"{args.config} dedup HEAD cw={args.cw} ({n_slots} slots)",
                total, cats, srcs)
         print(f"per-slot: {total/1e3/n_slots:.3f} ms")
