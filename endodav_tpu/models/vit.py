@@ -43,6 +43,23 @@ VIT_CONFIGS = {
 }
 
 
+class _DenseParams(nn.Module):
+    """Declares exactly LoRADense(variant='none')'s param tree (kernel
+    [in, out] + bias, same names/inits) but returns the raw arrays so
+    the fused-MLP kernel can consume both layers in one pallas_call
+    without forking the checkpoint format."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class Mlp(nn.Module):
     """Transformer MLP; fc1/fc2 carry the LoRA adapters (endodav.py:104-118)."""
 
@@ -58,11 +75,31 @@ class Mlp(nn.Module):
     # serving-only int8 GEMMs, threaded from the model config (env var
     # ENDODAV_INT8 is explicit override only — ops/quant.py:resolve_int8)
     quant_int8: bool = False
+    # serving-only fused fc1->gelu->fc2 Pallas kernel (kernels/
+    # fused_mlp.py): keeps the [rows, 4C] hidden VMEM-resident instead
+    # of XLA's HBM round-trip.  Threaded from the model config like
+    # quant_int8; ENDODAV_FUSED_MLP=0/1 is the explicit override.
+    fused_mlp: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, dash_phase2: bool = False):
         quant = resolve_int8(self.quant_int8)
+        from endodav_tpu.utils.envflags import env_auto
+
+        use_fused = (env_auto("ENDODAV_FUSED_MLP", self.fused_mlp)
+                     and self.lora_variant == "none" and not quant
+                     and jax.default_backend() == "tpu")
+        if use_fused:
+            from endodav_tpu.kernels.fused_mlp import fused_mlp
+
+            w1, b1 = _DenseParams(self.hidden_features, name="fc1")(x.shape[-1])
+            w2, b2 = _DenseParams(self.out_features, name="fc2")(self.hidden_features)
+            y = fused_mlp(x.astype(self.dtype), w1.astype(self.dtype), b1,
+                          w2.astype(self.dtype), b2)
+            if self.tp_axis is not None:
+                y = jax.lax.psum(y, self.tp_axis)
+            return y
         x = LoRADense(
             self.hidden_features, r=self.lora_rank, lora_alpha=self.lora_alpha,
             variant=self.lora_variant, dtype=self.dtype, name="fc1",
@@ -241,6 +278,7 @@ class ViTBlock(nn.Module):
     tp_groups: int = 1
     tp_axis: str = "model"
     quant_int8: bool = False
+    fused_mlp: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -269,7 +307,8 @@ class ViTBlock(nn.Module):
             ffn = Mlp(
                 4 * self.dim // self.tp_groups, self.dim, self.lora_variant,
                 self.lora_rank, self.lora_alpha, tp_axis=tp_axis,
-                quant_int8=self.quant_int8, dtype=self.dtype, name="mlp",
+                quant_int8=self.quant_int8, fused_mlp=self.fused_mlp,
+                dtype=self.dtype, name="mlp",
             )
         x = x + LayerScale(self.dim, name="ls2")(ffn(ln("norm2")(x), dash_phase2))
         if self.use_residual_block:
@@ -316,6 +355,9 @@ class DinoViT(nn.Module):
     # serving-only int8 GEMMs for the block projections, threaded from
     # the model config (ENDODAV_INT8 env var is explicit override only)
     quant_int8: bool = False
+    # serving-only fused MLP kernel (kernels/fused_mlp.py), threaded like
+    # quant_int8 (ENDODAV_FUSED_MLP env var is explicit override only)
+    fused_mlp: bool = False
     dtype: Any = jnp.float32
 
     def interpolated_pos_embed(self, pos_embed, ph: int, pw: int):
@@ -378,6 +420,7 @@ class DinoViT(nn.Module):
                     lora_variant=self.lora_variant, lora_rank=self.lora_rank,
                     lora_alpha=self.lora_alpha, ffn_layer=self.ffn_layer,
                     tp_groups=self.tp_groups, quant_int8=self.quant_int8,
+                    fused_mlp=self.fused_mlp,
                     dtype=self.dtype, name=f"blocks_{i}",
                 )(x, dash_phase2)
                 if i in take:
@@ -445,7 +488,7 @@ def _run_block_plan(vit: DinoViT, params, x, take_indices, patch_hw,
             lora_variant=vit.lora_variant, lora_rank=vit.lora_rank,
             lora_alpha=vit.lora_alpha, ffn_layer=vit.ffn_layer,
             tp_groups=vit.tp_groups, quant_int8=vit.quant_int8,
-            dtype=vit.dtype,
+            fused_mlp=vit.fused_mlp, dtype=vit.dtype,
         )
 
     plan = _scan_segment_plan(vit.depth, take_indices, vit.residual_block_indexes)

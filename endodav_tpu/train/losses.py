@@ -32,7 +32,6 @@ from endodav_tpu.geometry import (
     ncc,
     project_3d,
     reprojection_loss,
-    rigid_flow,
     smooth_bright,
     smooth_loss,
     transformation_from_parameters,
@@ -239,26 +238,47 @@ def main_phase(mods, variables, batch, cfg, temporal_weight=1.0, dash_phase2: bo
     # temporal depth warps — collapse into one kernel launch each
     # (img_tile for the shared color frames; batch-axis stacking for the
     # per-(s, f_i) depth maps).  Per-element results are unchanged.
+    # Round-5 geometry batching (the round-4 VERDICT's named breadth
+    # candidate): the per-(scale, frame) geometry — full-res disparity
+    # resize -> depth -> backproject -> project — runs ONCE on a
+    # scale-stacked [n_s*BT] axis instead of 4 resizes + 4 backprojects
+    # + 8 projects (+8 rigid_flows), and the color-synthesis grids come
+    # out of one transpose instead of per-frame stacks.  Per-element
+    # math identical (the stacked ops are batched copies of the same
+    # einsums); loss protocol parity pins it.  The reference's
+    # ("position_depth", s, f_i) rigid-flow outputs (trainer:846-850) are
+    # no longer materialized here: no loss term or logged panel consumes
+    # them (XLA already dead-code-eliminated them inside the jitted
+    # step), and they are reconstructible from sample/depth if a future
+    # consumer appears.
+    n_s_g = len(scales)
     src_depth_of = {}
-    for s in scales:
-        disp = outputs[("disp", s)]
-        disp_full = resize2d(disp, (H, W), "bilinear", align_corners=True)
-        _, depth = disp_to_depth(disp_full, cfg["min_depth"], cfg["max_depth"])
-        outputs[("depth", 0, s)] = depth
-        points = backproject_depth(depth, inv_K)
-        for f_i in (-1, 1):
-            T_mat = outputs[("cam_T_cam", 0, f_i)]
-            pix, src_depths = project_3d(points, cam_K, T_mat, H, W)
-            outputs[("sample", f_i, s)] = pix
-            src_depth_of[(s, f_i)] = src_depths
-            outputs[("position_depth", s, f_i)] = rigid_flow(points, cam_K, T_mat, H, W)
+    disp_full = jnp.stack(
+        [resize2d(outputs[("disp", s)], (H, W), "bilinear", align_corners=True)
+         for s in scales], axis=0)                    # [n_s, BT, H, W, 1]
+    bt_g = disp_full.shape[1]
+    _, depth_all = disp_to_depth(disp_full, cfg["min_depth"], cfg["max_depth"])
+    for si, s in enumerate(scales):
+        outputs[("depth", 0, s)] = depth_all[si]
+    points_all = backproject_depth(
+        depth_all.reshape(n_s_g * bt_g, H, W, 1),
+        jnp.tile(inv_K, (n_s_g, 1, 1)))
+    pix_of = {}
+    for f_i in (-1, 1):
+        T_mat = outputs[("cam_T_cam", 0, f_i)]
+        pix_all, srcd_all = project_3d(
+            points_all, jnp.tile(cam_K, (n_s_g, 1, 1)),
+            jnp.tile(T_mat, (n_s_g, 1, 1)), H, W)
+        pix_of[f_i] = pix_all.reshape(n_s_g, bt_g, H, W, 2)
+        srcd = srcd_all.reshape(n_s_g, bt_g, *srcd_all.shape[1:])
+        for si, s in enumerate(scales):
+            outputs[("sample", f_i, s)] = pix_of[f_i][si]
+            src_depth_of[(s, f_i)] = srcd[si]
 
     # batched color synthesis: one launch, source frames shared across
     # scales (grid order (f_i, t, s) — see _stack_sf)
-    grids = []
-    for f_i in (-1, 1):
-        g = jnp.stack([outputs[("sample", f_i, s)] for s in scales], axis=1)
-        grids.append(g.reshape(-1, H, W, 2))
+    grids = [jnp.transpose(pix_of[f_i], (1, 0, 2, 3, 4)).reshape(-1, H, W, 2)
+             for f_i in (-1, 1)]
     src = jnp.concatenate([batch[("color", -1, 0)], batch[("color", 1, 0)]], axis=0)
     col = grid_sample(src, jnp.concatenate(grids, axis=0), padding_mode="border",
                       align_corners=True, img_grad=False, img_tile=len(scales))

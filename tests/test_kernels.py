@@ -210,3 +210,52 @@ def test_motion_module_fused_matches_unfused():
         got = m_fused.apply(p, x, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_fused_mlp_matches_reference_interpret():
+    """kernels/fused_mlp.py — the serving-only fc1->gelu->fc2 fusion —
+    must match the XLA composition it replaces (same f32-accumulated
+    GEMMs + exact gelu) in Pallas interpret mode, at an M that pads."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from endodav_tpu.kernels.fused_mlp import fused_mlp, mlp_reference
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 321, 128)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((128, 512)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.standard_normal((512,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((512, 128)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.standard_normal((128,)).astype(np.float32) * 0.1)
+    ref = np.asarray(mlp_reference(x, w1, b1, w2, b2))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_mlp(x, w1, b1, w2, b2))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_mlp_whole_model_deviation(monkeypatch):
+    """ENDODAV_FUSED_MLP=1 on a merged-graph EndoDAV: bounded disparity
+    deviation vs the unfused graph (the fused kernel keeps the hidden in
+    f32 through gelu where XLA rounds to bf16 — tiny, not zero).  On CPU
+    suites fused_mlp's pallas_call can't run, so this exercises the
+    dispatch gating only when a TPU is present; the numeric bound runs
+    under interpret mode at module level instead."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from endodav_tpu.models.vit import Mlp
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 40, 64)).astype(np.float32))
+    m = Mlp(256, 64, lora_variant="none", dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.delenv("ENDODAV_FUSED_MLP", raising=False)
+    base = np.asarray(m.apply(v, x), np.float32)
+    mf = Mlp(256, 64, lora_variant="none", dtype=jnp.bfloat16, fused_mlp=True)
+    with pltpu.force_tpu_interpret_mode():
+        # the dispatch also gates on backend; force the route for the
+        # numeric comparison
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        got = np.asarray(mf.apply(v, x), np.float32)
+        # identical param tree either way
+        assert jax.tree_util.tree_structure(mf.init(jax.random.PRNGKey(0), x)) \
+            == jax.tree_util.tree_structure(v)
+    np.testing.assert_allclose(got, base, atol=2e-2, rtol=2e-2)

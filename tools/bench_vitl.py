@@ -137,6 +137,24 @@ def main():
     print(f"[vitl] e2e chunk forward: {per*1e3:.0f} ms -> "
           f"{n/per:.1f} frames/s compute ({args.reps} reps)", flush=True)
 
+    # GFLOP/frame + MFU from XLA cost_analysis of the two compiled jits
+    # (round-4 VERDICT weak #5: the vitl rows carried fps but no cost
+    # accounting, so nobody could say whether the next vitl lever is
+    # kernels or structure)
+    try:
+        tf_ = float(trunk_fn.lower(pv, x).compile()
+                    .cost_analysis()["flops"])
+        hf_ = float(head_fn.lower(phd, taps).compile()
+                    .cost_analysis()["flops"])
+        gpf = (tf_ + hf_) / n / 1e9
+        mfu = ((tf_ + hf_) / per) / 197e12
+        print(f"[vitl] cost: {gpf:.1f} GFLOP/frame "
+              f"(trunk {tf_/n/1e9:.1f} + head {hf_/n/1e9:.1f}), "
+              f"MFU {100*mfu:.1f}% of v5e bf16 peak", flush=True)
+    except Exception as e:
+        print(f"[vitl] cost_analysis unavailable ({type(e).__name__})",
+              flush=True)
+
     if args.chunk == 1:
         # dedup serving composition (the eval CLIs' DEFAULT,
         # video_inference.DedupWindowForward): the 186-frame bench clip
