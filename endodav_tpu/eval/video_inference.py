@@ -99,15 +99,42 @@ class DedupWindowForward:
         self.variables = variables
         self.batch_frames = int(batch_frames)
         take = ENDODAV_CONFIGS[model.encoder]["intermediate"]
-        # maps travel FLATTENED between the encode and head jits — see
-        # prefix_map_shapes (2x lane-padding + per-chunk relayouts at the
-        # 4D boundary measured ~600 ms/clip on device, round 5)
+        # boundary payload choice (round 5): the per-frame DPT PREFIX
+        # maps dedup the head's per-frame front half, but their
+        # per-frame footprint scales with the decoder widths — at vits
+        # they match the raw taps (~5.3 vs 5.2 MB/frame bf16) and the
+        # prefix dedup wins; at vitl (out_channels 256/512 at the 4x/2x
+        # resolutions) they are 1.8x the taps (25.3 vs 13.9 MB/frame)
+        # and a 186-frame clip's maps alone (4.9 GB) OOM'd HBM next to
+        # the head's working set.  So the boundary carries prefix maps
+        # only when they are not materially bigger than the taps;
+        # otherwise the raw taps travel and the head runs the full
+        # decode (prefix included, per window slot — the pre-round-5
+        # accounting).  ENDODAV_DEDUP_PREFIX=0/1 overrides.
+        from endodav_tpu.models.vit import VIT_CONFIGS
+
         self._map_shapes = prefix_map_shapes(model)
+        ph, pw = model.image_shape[0] // 14, model.image_shape[1] // 14
+        embed = VIT_CONFIGS[model.encoder]["embed_dim"]
+        taps_elems = len(take) * (ph * pw + 1) * embed
+        maps_elems = sum(int(np.prod(s)) for s in self._map_shapes)
+        self.prefix_mode = env_auto(
+            "ENDODAV_DEDUP_PREFIX", maps_elems <= 1.25 * taps_elems)
 
         def flat(maps):
             assert tuple(m.shape[1:] for m in maps) == self._map_shapes, (
                 tuple(m.shape[1:] for m in maps), self._map_shapes)
             return tuple(m.reshape(m.shape[0], -1) for m in maps)
+
+        def pack_taps(taps):
+            # two flat 2D arrays (tokens, cls): the flat boundary rule
+            # applies to taps too (lane-aligned canonical rows)
+            tok = jnp.stack([t for t, _ in taps], axis=1)
+            cls = jnp.stack([c for _, c in taps], axis=1)
+            return (tok.reshape(tok.shape[0], -1), cls.reshape(cls.shape[0], -1))
+
+        post = flat if self.prefix_mode else pack_taps
+        prefix_mode = self.prefix_mode
 
         # scan trunk AUTO-ON at vitl (engine.py "vitl AUTO-DEFAULT")
         if env_auto("ENDODAV_SCAN_TRUNK", model.encoder == "vitl"):
@@ -123,16 +150,21 @@ class DedupWindowForward:
             def encode_c(v, batch):
                 x = model.preprocess(batch[None])
                 taps = scan_trunk_apply(vit, v["params"]["pretrained"], x, take)
-                return flat(model.apply(v, taps, method="decode_prefix"))
+                if prefix_mode:
+                    return flat(model.apply(v, taps, method="decode_prefix"))
+                return pack_taps(taps)
         else:
 
             @jax.jit
             def encode_c(v, batch):
                 taps = model.apply(v, batch[None], method="encode")
-                return flat(model.apply(v, taps, method="decode_prefix"))
+                if prefix_mode:
+                    return flat(model.apply(v, taps, method="decode_prefix"))
+                return pack_taps(taps)
 
         self._encode_c = encode_c
         self._model = model
+        self._tap_meta = (len(take), ph * pw, embed)
         self._head_cache: dict = {}
 
     def encode(self, v, batch):
@@ -152,18 +184,33 @@ class DedupWindowForward:
         head = self._head_cache.get(key)
         if head is None:
             model, shapes = self._model, self._map_shapes
+            k, n_tok, embed = self._tap_meta
 
-            @jax.jit
-            def head(v, widx, *maps):
-                # gather flat rows, then unflatten on the (small)
-                # gathered arrays inside this jit
-                gathered = tuple(
-                    jnp.take(m, widx, axis=0).reshape(-1, *shp)
-                    for m, shp in zip(maps, shapes))
-                disp = model.apply(v, gathered, INFER_LEN,
-                                   method="decode_suffix")[("disp", 0)]
-                disp = resize2d(disp, (fh, fw), "bilinear", align_corners=True)
-                return disp[..., 0].astype(out_dtype)
+            if self.prefix_mode:
+                @jax.jit
+                def head(v, widx, *maps):
+                    # gather flat rows, then unflatten on the (small)
+                    # gathered arrays inside this jit
+                    gathered = tuple(
+                        jnp.take(m, widx, axis=0).reshape(-1, *shp)
+                        for m, shp in zip(maps, shapes))
+                    disp = model.apply(v, gathered, INFER_LEN,
+                                       method="decode_suffix")[("disp", 0)]
+                    disp = resize2d(disp, (fh, fw), "bilinear",
+                                    align_corners=True)
+                    return disp[..., 0].astype(out_dtype)
+            else:
+                @jax.jit
+                def head(v, widx, tok, cls):
+                    s = widx.shape[0]
+                    tokg = jnp.take(tok, widx, axis=0).reshape(s, k, n_tok, embed)
+                    clsg = jnp.take(cls, widx, axis=0).reshape(s, k, embed)
+                    taps = [(tokg[:, i], clsg[:, i]) for i in range(k)]
+                    disp = model.apply(v, taps, INFER_LEN,
+                                       method="decode")[("disp", 0)]
+                    disp = resize2d(disp, (fh, fw), "bilinear",
+                                    align_corners=True)
+                    return disp[..., 0].astype(out_dtype)
 
             self._head_cache[key] = head
         return head

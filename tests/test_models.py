@@ -132,6 +132,27 @@ def test_scan_trunk_module_flag_forward_and_grad(monkeypatch):
     o1 = m1.apply(v, x)[("disp", 0)]
     np.testing.assert_allclose(o1, o0, atol=1e-5)
 
+
+@pytest.mark.slow
+def test_scan_trunk_module_flag_grads(monkeypatch):
+    """Gradient half of the scan-vs-unrolled contract (the train step
+    rides the module flag): the two full-model grad compiles dominated
+    the FAST suite (~80 s after the depth-6 shrink), so they live in the
+    slow set while the forward-parity half stays fast."""
+    from endodav_tpu.models import endodav as dav_mod
+    from endodav_tpu.models import vit as vit_mod
+    from endodav_tpu.models.endodav import EndoDAV
+
+    monkeypatch.setitem(vit_mod.VIT_CONFIGS, "vits",
+                        dict(embed_dim=384, depth=6, num_heads=6))
+    monkeypatch.setitem(dav_mod.ENDODAV_CONFIGS, "vits",
+                        dict(features=64, out_channels=(48, 96, 192, 384),
+                             intermediate=(1, 2, 4, 5)))
+    m0 = EndoDAV(image_shape=(28, 28), num_frames=8)
+    m1 = EndoDAV(image_shape=(28, 28), num_frames=8, scan_trunk=True)
+    v = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 28, 28, 3)))
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 8, 32, 32, 3)).astype(np.float32))
+
     def grads(mod):
         return jax.grad(
             lambda p: (mod.apply({"params": p}, x)[("disp", 0)] ** 2).mean()

@@ -345,8 +345,13 @@ def test_tp_dedup_rejects_indivisible_heads():
 
     if len(jax.devices()) < 4:
         pytest.skip("needs a multi-device mesh")
-    m = EndoDAV(**{**KW, "num_frames": 32})
-    v32 = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 56, 70, 3)))
+    # shape-only variables: the rejection fires on the param TREE before
+    # any value matters, and a full num_frames=32 init compile cost 35 s
+    # of the fast suite for a ValueError test
+    m = EndoDAV(**{**KW, "num_frames": 2})
+    shapes = jax.eval_shape(m.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 2, 56, 70, 3)))
+    v = jax.tree.map(lambda sd: jnp.zeros(sd.shape, sd.dtype), shapes)
     with pytest.raises(ValueError, match="not divisible"):
-        tp_dedup_window_forward(EndoDAV(tp_groups=4, **{**KW, "num_frames": 32}),
-                                v32, build_tp_mesh(4), num_heads=6)
+        tp_dedup_window_forward(EndoDAV(tp_groups=4, **{**KW, "num_frames": 2}),
+                                v, build_tp_mesh(4), num_heads=6)

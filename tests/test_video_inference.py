@@ -457,3 +457,37 @@ def test_prefix_map_shapes_match_decode_prefix():
         got = tuple(mp.shape[1:] for mp in maps)
         assert got == prefix_map_shapes(m), (image_shape, got,
                                              prefix_map_shapes(m))
+
+
+def test_dedup_taps_mode_matches_whole_model(monkeypatch):
+    """ENDODAV_DEDUP_PREFIX=0 — the raw-taps boundary the pipeline
+    auto-selects when the prefix maps outweigh the taps (vitl: 25.3 vs
+    13.9 MB/frame, where the maps OOM'd a 186-frame clip) — must match
+    the whole-model window pipeline like the prefix mode does."""
+    import jax
+
+    from endodav_tpu.eval import engine
+    from endodav_tpu.models.endodav import EndoDAV
+
+    m = EndoDAV(image_shape=(28, 28), num_frames=32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 28, 28, 3)))
+    frames = np.random.default_rng(3).integers(0, 255, (40, 32, 32, 3),
+                                               dtype=np.uint8)
+    for name in ("ENDODAV_SPLIT_COMPILE", "ENDODAV_SCAN_TRUNK",
+                 "ENDODAV_DEDUP", "ENDODAV_NO_DEDUP"):
+        monkeypatch.delenv(name, raising=False)
+    monkeypatch.setenv("ENDODAV_NO_DEDUP", "1")
+    base_fwd = engine.depth_window_forward(m, v, "endodav")
+    whole = infer_video_depth(base_fwd.vw_fn, frames, image_shape=(28, 28),
+                              chunk_windows=2,
+                              variables=base_fwd.bound_variables)
+
+    monkeypatch.delenv("ENDODAV_NO_DEDUP")
+    monkeypatch.setenv("ENDODAV_DEDUP", "1")
+    monkeypatch.setenv("ENDODAV_DEDUP_PREFIX", "0")
+    fwd = engine.depth_window_forward(m, v, "endodav")
+    assert fwd.dedup is not None and not fwd.dedup.prefix_mode
+    dd = infer_video_depth(fwd.vw_fn, frames, image_shape=(28, 28),
+                           chunk_windows=2, variables=fwd.bound_variables,
+                           dedup=fwd.dedup)
+    np.testing.assert_allclose(dd, whole, atol=2e-4, rtol=2e-4)

@@ -391,9 +391,9 @@ def test_channel_plane_layout_matches_interleaved(monkeypatch):
     from endodav_tpu.kernels import warp_matmul as wm
 
     rng = np.random.default_rng(11)
-    img = jnp.asarray(rng.standard_normal((2, 64, 80, 3)).astype(np.float32))
-    fx = jnp.asarray(rng.uniform(-2, 81, (2, 64, 80)).astype(np.float32))
-    fy = jnp.asarray(rng.uniform(-2, 65, (2, 64, 80)).astype(np.float32))
+    img = jnp.asarray(rng.standard_normal((2, 32, 40, 3)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-2, 41, (2, 32, 40)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-2, 33, (2, 32, 40)).astype(np.float32))
 
     def loss(im, x, y):
         return (wm.grid_sample_mm(im, x, y, True, True, True) ** 2).sum()
